@@ -1,0 +1,125 @@
+"""Quadratic-program problem and solution types.
+
+TPU-native analog of the reference's qp.hpp: the problem is a pytree of dense
+fixed-shape arrays
+
+    min_x  0.5 x' P x + q' x
+    s.t.   l <= A x <= u
+
+(the reference's sparse variant, qp.hpp:60-79, is replaced by dense
+block-banded structure — XLA/MXU prefer dense tiles over scalar sparsity).
+Batches of QPs are leading axes on every field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class QuadraticProgram(NamedTuple):
+    """Dense QP data; cf. reference qp.hpp:31-45."""
+
+    P: jax.Array  # (n, n) cost quadratic (only symmetric part matters)
+    q: jax.Array  # (n,)   cost linear
+    A: jax.Array  # (m, n) constraint matrix
+    l: jax.Array  # (m,)   lower bounds (-inf allowed)
+    u: jax.Array  # (m,)   upper bounds (+inf allowed)
+
+
+class QPSolutionStatus(enum.IntEnum):
+    """Solver return codes; same meanings as reference qp.hpp:82-92."""
+
+    Optimal = 0
+    PolishFailed = 1
+    PrimalInfeasible = 2
+    DualInfeasible = 3
+    MaxIterations = 4
+    MaxTime = 5  # kept for API parity; wall-clock limits live at host level
+    Unknown = 6
+    # internal sentinel: still iterating (never returned)
+    Running = -1
+
+
+class QPSolution(NamedTuple):
+    """Solution pytree; cf. reference qp.hpp:95-108 plus residual observability."""
+
+    primal: jax.Array  # (n,)
+    dual: jax.Array  # (m,)
+    status: jax.Array  # int32 scalar, a QPSolutionStatus value
+    iters: jax.Array  # int32 scalar
+    objective: jax.Array  # scalar
+    primal_res: jax.Array  # inf-norm primal residual at last stopping check
+    dual_res: jax.Array  # inf-norm dual residual at last stopping check
+
+
+@dataclasses.dataclass(frozen=True)
+class QPSolverParams:
+    """ADMM solver options (jit-static); defaults match reference
+    qp_solver.hpp:29-68."""
+
+    alpha: float = 1.6  # relaxation
+    rho: float = 0.1  # base dual step size
+    sigma: float = 1e-6  # primal regularization
+    scaling: bool = True  # modified-Ruiz equilibration
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    eps_primal_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
+    max_iter: int = 4000  # jit needs a finite bound (reference: optional)
+    stop_check_iter: int = 25  # iterations between convergence checks
+    polish: bool = True
+    polish_iter: int = 5
+    delta: float = 1e-6  # polish regularization
+    # Extra iterative-refinement sweeps on each KKT solve. The solver already
+    # forces full-f32 matmul precision on TPU; refinement is only needed when
+    # pushing f32 toward ~1e-6 tolerances. No reference analog (f64-only).
+    kkt_refine_iters: int = 0
+
+
+def random_qp(
+    key: jax.Array,
+    n: int,
+    m: int,
+    density: float = 1.0,
+    dtype=jnp.float64,
+) -> QuadraticProgram:
+    """Random feasible-ish QP in the style of the reference benchmark
+    (benchmarks/bench.cpp random problem generator): P = M M' (PSD), random A,
+    bounds straddling A x0 for a random x0."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    M = jax.random.normal(k1, (n, n), dtype=dtype)
+    if density < 1.0:
+        mask = jax.random.bernoulli(k5, density, (n, n))
+        M = M * mask
+    P = M @ M.T
+    q = jax.random.normal(k2, (n,), dtype=dtype)
+    A = jax.random.normal(k3, (m, n), dtype=dtype)
+    x0 = jax.random.normal(k4, (n,), dtype=dtype)
+    center = A @ x0
+    spread = jnp.abs(jax.random.normal(k5, (m,), dtype=dtype)) + 0.1
+    return QuadraticProgram(P=P, q=q, A=A, l=center - spread, u=center + spread)
+
+
+def warmstart_like(qp: QuadraticProgram) -> QPSolution:
+    """Zero warmstart with shapes matching ``qp``."""
+    n = qp.A.shape[-1]
+    m = qp.A.shape[-2]
+    dt = qp.A.dtype
+    z = jnp.zeros((), dtype=dt)
+    return QPSolution(
+        primal=jnp.zeros(qp.A.shape[:-2] + (n,), dt),
+        dual=jnp.zeros(qp.A.shape[:-2] + (m,), dt),
+        status=jnp.full(qp.A.shape[:-2], QPSolutionStatus.Unknown, jnp.int32),
+        iters=jnp.zeros(qp.A.shape[:-2], jnp.int32),
+        objective=jnp.zeros(qp.A.shape[:-2], dt),
+        primal_res=jnp.zeros(qp.A.shape[:-2], dt),
+        dual_res=jnp.zeros(qp.A.shape[:-2], dt),
+    )
+
+
+Warmstart = Optional[QPSolution]

@@ -1,0 +1,237 @@
+"""Batched ADMM QP solver tests.
+
+Mirrors the reference's test strategy (tests/test_qp.cpp): closed-form
+oracles, the portfolio problem with a known answer, infeasibility
+certificates, warmstarting, plus batched execution and a scipy cross-check
+(standing in for the OSQP oracle, which isn't available in this image).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smooth_feedback_tpu.qp import (
+    QPSolutionStatus,
+    QPSolverParams,
+    QuadraticProgram,
+    random_qp,
+    solve_qp,
+    solve_qp_batch,
+)
+
+inf = np.inf
+TOL = 1e-4
+PRM = QPSolverParams()
+
+
+def _qp(P, q, A, l, u):
+    f = lambda a: jnp.asarray(a, dtype=jnp.float64)
+    return QuadraticProgram(P=f(P), q=f(q), A=f(A), l=f(l), u=f(u))
+
+
+def test_basic():
+    """Box-constrained diagonal QP (reference test_qp.cpp:54-73)."""
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, [1, -0.25], atol=TOL)
+    np.testing.assert_allclose(sol.objective, 0.5 - 4 - 1 / 32, atol=TOL)
+
+    # warmstarted solve reaches the same solution
+    sol_ws = solve_qp(qp, PRM, warmstart=sol)
+    assert int(sol_ws.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol_ws.primal, [1, -0.25], atol=TOL)
+
+
+def test_unconstrained():
+    """(reference test_qp.cpp:149-166)"""
+    P = [[4, 2, 2], [2, 4, 2], [2, 2, 4]]
+    qp = _qp(P, [-8, -6, -10], np.zeros((1, 3)), [-inf], [inf])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, [1, 0, 2], atol=TOL)
+
+
+def test_half_constrained():
+    """(reference test_qp.cpp:168-185)"""
+    P = [[4, 2, 2], [2, 4, 2], [2, 2, 4]]
+    qp = _qp(P, [-8, -6, -10], np.eye(3), [-inf, -inf, -10], [inf, 10, inf])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, [1, 0, 2], atol=TOL)
+
+
+def test_primal_infeasible_easy():
+    """Trivially empty box (reference test_qp.cpp:187-199)."""
+    qp = _qp(np.eye(2), [0.1, 0.1], np.eye(2), [-1, 1], [1, -1])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.PrimalInfeasible
+
+
+def test_primal_infeasible_hard():
+    """Conflicting halfspaces need the certificate (test_qp.cpp:201-213)."""
+    qp = _qp(np.eye(2), [0.1, 0.1], [[1, 1], [-1, -1]], [0.5, 0.5], [1, 1])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.PrimalInfeasible
+
+
+def test_primal_infeasible_infinity():
+    """(reference test_qp.cpp:215-227)"""
+    qp = _qp(
+        np.eye(2),
+        [0.1, 0.1],
+        [[1, 1], [-1, -1], [1, 0], [0, 1]],
+        [0.5, 0.5, -inf, -inf],
+        [1, 1, inf, inf],
+    )
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.PrimalInfeasible
+
+
+def test_dual_infeasible():
+    """Unbounded below (reference test_qp.cpp:229-242)."""
+    P = np.zeros((2, 2))
+    P[0, 0] = 1
+    qp = _qp(P, [1, -1], np.eye(2), [-1, -inf], [1, inf])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.DualInfeasible
+
+
+def test_portfolio():
+    """Portfolio QP with known optimum (reference test_qp.cpp:244-272)."""
+    P = [
+        [0.018641, 0.00359853, 0.00130976],
+        [0.00359853, 0.00643694, 0.00488727],
+        [0.00130976, 0.00488727, 0.0686828],
+    ]
+    A = [
+        [1, 1, 1],
+        [0.0260022, 0.00810132, 0.0737159],
+        [1, 0, 0],
+        [0, 1, 0],
+        [0, 0, 1],
+    ]
+    qp = _qp(P, np.zeros(3), A, [-inf, 50, 0, 0, 0], [1000, inf, inf, inf, inf])
+    answer = np.array([497.04552984986384, 0.0, 502.9544801594811])
+
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, answer, atol=TOL * np.linalg.norm(answer))
+    np.testing.assert_allclose(sol.objective, 22634.417849884154 / 2, atol=5e-2)
+
+    sol_ws = solve_qp(qp, PRM, warmstart=sol)
+    assert int(sol_ws.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol_ws.primal, answer, atol=TOL * np.linalg.norm(answer))
+
+
+def test_two_dimensional():
+    """(reference test_qp.cpp:314-336)"""
+    qp = _qp(
+        [[0.0100131, 0], [0, 0.01]],
+        [-0.329554, 0.536459],
+        [[-0.0639209, -0.168], [-0.467, 0]],
+        [-inf, -inf],
+        [-0.034974, 0.46571],
+    )
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, [46.6338, -17.5351], atol=1e-3)
+
+
+def test_batch_matches_single():
+    """Batched solve returns identical results to one-at-a-time solves
+    (the analog of the reference's dense/sparse cross-validation)."""
+    keys = jax.random.split(jax.random.PRNGKey(42), 8)
+    qps = jax.vmap(lambda k: random_qp(k, n=6, m=8))(keys)
+
+    batch_sol = solve_qp_batch(qps, PRM)
+    for i in range(8):
+        qp_i = jax.tree.map(lambda a: a[i], qps)
+        sol_i = solve_qp(qp_i, PRM)
+        assert int(sol_i.status) == int(batch_sol.status[i])
+        np.testing.assert_allclose(sol_i.primal, batch_sol.primal[i], atol=1e-10)
+        np.testing.assert_allclose(sol_i.dual, batch_sol.dual[i], atol=1e-10)
+
+
+def test_batch_mixed_statuses():
+    """A batch mixing optimal / primal-infeasible / dual-infeasible problems
+    resolves each element's status independently."""
+    q1 = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])  # optimal
+    q2 = _qp(np.eye(2), [0.1, 0.1], np.eye(2), [-1, 1], [1, -1])  # prim inf
+    P = np.zeros((2, 2))
+    P[0, 0] = 1
+    q3 = _qp(P, [1, -1], np.eye(2), [-1, -inf], [1, inf])  # dual inf
+
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), q1, q2, q3)
+    sol = solve_qp_batch(batch, PRM)
+    assert list(np.asarray(sol.status)) == [
+        QPSolutionStatus.Optimal,
+        QPSolutionStatus.PrimalInfeasible,
+        QPSolutionStatus.DualInfeasible,
+    ]
+    np.testing.assert_allclose(sol.primal[0], [1, -0.25], atol=TOL)
+
+
+def test_scipy_crosscheck():
+    """Random QPs agree with a scipy reference solution at matching accuracy
+    (plays the role of the reference's OSQP oracle, compat/osqp.hpp)."""
+    from scipy.optimize import minimize
+
+    prm = QPSolverParams(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    for k in keys:
+        qp = random_qp(k, n=5, m=5)
+        sol = solve_qp(qp, prm)
+        assert int(sol.status) == QPSolutionStatus.Optimal
+
+        P, q, A, l, u = map(np.asarray, qp)
+        res = minimize(
+            lambda x: 0.5 * x @ P @ x + q @ x,
+            np.zeros(5),
+            jac=lambda x: P @ x + q,
+            constraints=[
+                {"type": "ineq", "fun": lambda x: A @ x - l, "jac": lambda x: A},
+                {"type": "ineq", "fun": lambda x: u - A @ x, "jac": lambda x: -A},
+            ],
+            method="SLSQP",
+            options={"maxiter": 500, "ftol": 1e-12},
+        )
+        assert res.success
+        np.testing.assert_allclose(sol.primal, res.x, atol=1e-4)
+
+
+def test_polish_improves_accuracy():
+    """With polish the KKT residuals drop to ~machine precision on an
+    active-constrained problem (role of reference polish, qp_solver.hpp:93)."""
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    sol = solve_qp(qp, QPSolverParams(polish=True))
+    # exact solution x = (1, -0.25); active constraint x0 <= 1
+    np.testing.assert_allclose(sol.primal, [1, -0.25], atol=1e-9)
+
+
+def test_no_scaling_no_polish():
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    sol = solve_qp(qp, QPSolverParams(scaling=False, polish=False))
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    # without polish the iterate is only ~eps_abs accurate
+    np.testing.assert_allclose(sol.primal, [1, -0.25], atol=2e-3)
+
+
+def test_equality_constraints():
+    """Rows with l == u get the stiff-rho equality treatment."""
+    P = np.eye(3)
+    q = [1.0, 1.0, 1.0]
+    A = [[1, 1, 1]]
+    qp = _qp(P, q, A, [1.5], [1.5])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, [0.5, 0.5, 0.5], atol=TOL)
+    np.testing.assert_allclose(np.sum(sol.primal), 1.5, atol=1e-6)
+
+
+def test_iters_reported():
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    sol = solve_qp(qp, PRM)
+    assert int(sol.iters) > 0
+    assert float(sol.primal_res) < PRM.eps_abs + 1e-12
