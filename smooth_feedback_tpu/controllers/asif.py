@@ -1,0 +1,233 @@
+"""Active Set Invariance safety Filter (ASIF) on Lie groups.
+
+TPU-native re-design of the reference ASIF (asif.hpp:41-112,
+asif_func.hpp:39-260).  The filter minimally modifies a desired input so that
+barrier constraints h(t, x) >= 0 remain invariant along a backup trajectory:
+
+    min_{mu, delta}  (mu' W_u mu) + relax_cost * delta^2
+    s.t.             d/dt h(phi_t(x0)) >= -alpha h(phi_t(x0)) - delta  (K times)
+                     u_des (+) mu  in  ulim,   delta >= 0
+
+Construction: a fixed-step `lax.scan` forward-integrates the backup closed
+loop x' = f(x, bu(t, x)) together with its body-frame sensitivity
+S' = (-ad(f_cl) + d^r f_cl/dx) S (asif_func.hpp:148-152), emitting one barrier
+row per constraint time; the small dense QP solves with the batched ADMM
+kernel.  Everything is one traced function — fleets of filters vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..groups.base import LieGroup
+from ..qp.solver import solve_qp_batch
+from ..qp.types import QPSolution, QPSolutionStatus, QPSolverParams, QuadraticProgram
+from ..utils.bounds import ManifoldBounds
+
+
+@dataclasses.dataclass(frozen=True)
+class ASIFtoQPParams:
+    """cf. reference ASIFtoQPParams (asif_func.hpp:58-68)."""
+
+    K: int = 10  # number of constraint instances over the horizon
+    alpha: float = 1.0  # barrier decay rate
+    dt: float = 0.1  # maximal integration step
+    relax_cost: float = 100.0  # relaxation penalty
+
+
+@dataclasses.dataclass(frozen=True)
+class ASIFilterParams:
+    """cf. reference ASIFilterParams (asif.hpp:17-32)."""
+
+    T: float = 1.0  # backup horizon (static: determines step count)
+    asif: ASIFtoQPParams = dataclasses.field(default_factory=ASIFtoQPParams)
+    qp: QPSolverParams = dataclasses.field(default_factory=QPSolverParams)
+
+
+def asif_to_qp(
+    X: LieGroup,
+    U: LieGroup,
+    prm: ASIFtoQPParams,
+    T: float,
+    x0: jax.Array,
+    u_des: jax.Array,
+    W_u: jax.Array,
+    ulim: ManifoldBounds,
+    f: Callable,
+    h: Callable,
+    bu: Callable,
+) -> QuadraticProgram:
+    """Build the ASIF QP (cf. asif_to_qp, asif_func.hpp:244-260).
+
+    Args:
+      f: dynamics ``f(x, u) -> (nx,)`` body velocity.
+      h: barrier ``h(t, x) -> (nh,)``; safe set is h >= 0.
+      bu: backup controller ``bu(t, x) -> u-params``.
+
+    ``T``, ``prm`` are static (they fix the scan length); everything else may
+    be traced/batched.
+    """
+    nx, nu = X.ndof, U.ndof
+    dt_ = jnp.result_type(x0)
+    nh = int(jax.eval_shape(h, jnp.zeros(()), x0).shape[0])
+    nb = int(ulim.A.shape[0])
+
+    tau = T / prm.K
+    n_sub = max(1, int(-(-tau // prm.dt)))  # ceil(tau / dt)
+    hstep = tau / n_sub
+
+    zx = jnp.zeros((nx,), dt_)
+    zu = jnp.zeros((nu,), dt_)
+
+    # dynamics value and input jacobian at the current state (asif_func.hpp:155-156)
+    f0 = f(x0, u_des)
+    df0_du = jax.jacfwd(lambda v: f(x0, U.rplus(u_des, v)))(zu)  # (nx, nu)
+
+    def fcl(t, x):
+        return f(x, bu(t, x))
+
+    def sub_step(carry, _):
+        t, x, S = carry
+        x_new = X.rplus(x, hstep * fcl(t, x))
+        # sensitivity uses the post-step state (reference stepper ordering,
+        # asif_func.hpp:175-178 with captured-by-reference x)
+        fv = fcl(t, x_new)
+        J = jax.jacfwd(lambda w: fcl(t, X.rplus(x_new, w)))(zx)
+        S_new = S + hstep * ((-X.ad(fv) + J) @ S)
+        return (t + hstep, x_new, S_new), None
+
+    def seg_step(carry, k):
+        t, x, S = carry
+        # barrier row at the current constraint time (asif_func.hpp:159-180)
+        hval = h(t, x)
+        dh_dt = jax.jacfwd(lambda s: h(s, x))(t)  # (nh,)
+        dh_dx = jax.jacfwd(lambda w: h(t, X.rplus(x, w)))(zx)  # (nh, nx)
+        dh_dx0 = dh_dx @ S
+        Arow = dh_dx0 @ df0_du  # (nh, nu)
+        lrow = -dh_dt - prm.alpha * hval - dh_dx0 @ f0
+
+        # integrate to the next constraint time
+        carry, _ = jax.lax.scan(sub_step, (t, x, S), None, length=n_sub)
+        return carry, (Arow, lrow)
+
+    init = (jnp.zeros((), dt_), x0, jnp.eye(nx, dtype=dt_))
+    _, (Arows, lrows) = jax.lax.scan(seg_step, init, jnp.arange(prm.K))
+    # Arows: (K, nh, nu); lrows: (K, nh)
+
+    M = prm.K * nh + nb + 1
+    N = nu + 1
+    inf = jnp.asarray(jnp.inf, dt_)
+
+    A = jnp.zeros((M, N), dt_)
+    A = A.at[: prm.K * nh, :nu].set(Arows.reshape(prm.K * nh, nu))
+    A = A.at[: prm.K * nh, nu].set(1.0)  # relaxation column
+    l = jnp.full((M,), -inf, dt_)
+    u = jnp.full((M,), inf, dt_)
+    l = l.at[: prm.K * nh].set(lrows.reshape(-1))
+
+    if nb > 0:
+        # input bounds (asif_func.hpp:186-188)
+        du_c = ulim.A @ U.rminus(u_des, ulim.c)
+        A = A.at[prm.K * nh : prm.K * nh + nb, :nu].set(ulim.A)
+        l = l.at[prm.K * nh : prm.K * nh + nb].set(ulim.l - du_c)
+        u = u.at[prm.K * nh : prm.K * nh + nb].set(ulim.u - du_c)
+
+    # delta >= 0 (asif_func.hpp:191-193)
+    A = A.at[M - 1, nu].set(1.0)
+    l = l.at[M - 1].set(0.0)
+
+    P = jnp.zeros((N, N), dt_)
+    P = P.at[jnp.arange(nu), jnp.arange(nu)].set(jnp.asarray(W_u, dt_))
+    P = P.at[nu, nu].set(prm.relax_cost)
+    q = jnp.zeros((N,), dt_)
+
+    return QuadraticProgram(P=P, q=q, A=A, l=l, u=u)
+
+
+class ASIFStepResult(NamedTuple):
+    u: jax.Array  # filtered input
+    status: jax.Array
+    warmstart: QPSolution
+
+
+def make_asif_step(
+    X: LieGroup,
+    U: LieGroup,
+    f: Callable,
+    h: Callable,
+    bu: Callable,
+    *,
+    params: ASIFilterParams = ASIFilterParams(),
+    W_u: Optional[jax.Array] = None,
+    ulim: Optional[ManifoldBounds] = None,
+    dtype=jnp.float64,
+):
+    """Build the functional ASIF step (cf. ASIFilter, asif.hpp:41-112).
+
+    Returns ``(step, init_warmstart)`` where
+    ``step(warmstart, x, u_des) -> ASIFStepResult`` is jit/vmap-compatible and
+    returns the minimally-modified safe input ``u_des (+) mu``.
+    """
+    nu = U.ndof
+    if W_u is None:
+        W_u = jnp.ones((nu,), dtype)
+    if ulim is None:
+        from ..utils.bounds import empty_bounds
+
+        ulim = empty_bounds(U, dtype)
+    nh = int(
+        jax.eval_shape(h, jnp.zeros(()), X.identity(dtype)).shape[0]
+    )
+    nb = int(ulim.A.shape[0])
+    M = params.asif.K * nh + nb + 1
+    N = nu + 1
+
+    def step(warmstart: QPSolution, x, u_des) -> ASIFStepResult:
+        qp = asif_to_qp(
+            X, U, params.asif, params.T, x, u_des, W_u, ulim, f, h, bu
+        )
+        qp_b = jax.tree.map(lambda a: a[None], qp)
+        ws_b = jax.tree.map(lambda a: a[None], warmstart)
+        sol_b = solve_qp_batch(qp_b, params.qp, ws_b)
+        sol = jax.tree.map(lambda a: a[0], sol_b)
+
+        mu = sol.primal[:nu]
+        u = U.rplus(u_des, mu)
+        ok = (
+            (sol.status == QPSolutionStatus.Optimal)
+            | (sol.status == QPSolutionStatus.MaxIterations)
+            | (sol.status == QPSolutionStatus.MaxTime)
+        )
+        new_ws = jax.tree.map(lambda a, b: jnp.where(ok, a, b), sol, warmstart)
+        return ASIFStepResult(u=u, status=sol.status, warmstart=new_ws)
+
+    init_ws = QPSolution(
+        primal=jnp.zeros((N,), dtype),
+        dual=jnp.zeros((M,), dtype),
+        status=jnp.asarray(int(QPSolutionStatus.Unknown), jnp.int32),
+        iters=jnp.asarray(0, jnp.int32),
+        objective=jnp.asarray(0.0, dtype),
+        primal_res=jnp.asarray(jnp.inf, dtype),
+        dual_res=jnp.asarray(jnp.inf, dtype),
+    )
+    return step, init_ws
+
+
+class ASIFilter:
+    """Stateful convenience wrapper mirroring the reference class API
+    (asif.hpp:41).  ``filter(x, u_des) -> (u, status)``."""
+
+    def __init__(self, X, U, f, h, bu, *, params=ASIFilterParams(), W_u=None, ulim=None, dtype=jnp.float64):
+        self._step, self._ws = make_asif_step(
+            X, U, f, h, bu, params=params, W_u=W_u, ulim=ulim, dtype=dtype
+        )
+        self._step = jax.jit(self._step)
+
+    def __call__(self, x, u_des):
+        res = self._step(self._ws, x, u_des)
+        self._ws = res.warmstart
+        return res.u, QPSolutionStatus(int(res.status))

@@ -1,0 +1,154 @@
+"""MPC tests: API behavior mirroring reference tests/test_mpc.cpp and a
+closed-loop double-integrator tracking run mirroring
+examples/mpc_doubleintegrator.cpp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smooth_feedback_tpu.controllers import (
+    MPC,
+    MPCParams,
+    MPCWeights,
+    make_mpc_step,
+)
+from smooth_feedback_tpu.groups import SE2, Rn
+from smooth_feedback_tpu.qp import QPSolutionStatus, QPSolverParams
+
+
+def _di_mpc(K=20, tf=5.0):
+    """Double integrator tracking -0.5 sin(0.3 t)
+    (examples/mpc_doubleintegrator.cpp:35-61)."""
+    X, U = Rn(2), Rn(1)
+    f = lambda x, u: jnp.stack([x[1], u[0]])
+    cr = lambda x, u: u
+    xdes = lambda t: jnp.stack([-0.5 * jnp.sin(0.3 * t), -0.15 * jnp.cos(0.3 * t)])
+    udes = lambda t: jnp.zeros(1)
+    weights = MPCWeights(Q=jnp.eye(2), Qtf=0.1 * jnp.eye(2), R=0.1 * jnp.eye(1))
+    params = MPCParams(K=K, tf=tf, qp=QPSolverParams(scaling=False, polish=False))
+    step, ws0 = make_mpc_step(
+        X, U, f, xdes, udes,
+        weights=weights, params=params,
+        cr=cr, crl=jnp.array([-0.5]), cru=jnp.array([0.5]),
+    )
+    return step, ws0, f, xdes
+
+
+def test_di_closed_loop_tracking():
+    """Closed loop inside lax.scan tracks the desired sine trajectory."""
+    step, ws0, f, xdes = _di_mpc()
+    dt = 0.05
+
+    def rk4(x, u):
+        k1 = f(x, u)
+        k2 = f(x + 0.5 * dt * k1, u)
+        k3 = f(x + 0.5 * dt * k2, u)
+        k4 = f(x + dt * k3, u)
+        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def body(carry, i):
+        x, ws = carry
+        t = i * dt
+        res = step(ws, t, x)
+        x = rk4(x, res.u)
+        return (x, res.warmstart), (x, res.status)
+
+    x0 = jnp.array([1.0, 0.0])
+    (xf, _), (xs, statuses) = jax.lax.scan(body, (x0, ws0), jnp.arange(400))
+
+    xs = np.asarray(xs)
+    ts = (np.arange(400) + 1) * 0.05
+    xdes_np = -0.5 * np.sin(0.3 * ts)
+    # after the transient the tracking error is small
+    err = np.abs(xs[100:, 0] - xdes_np[100:])
+    assert err.max() < 0.05, f"tracking error {err.max()}"
+    # all solves optimal
+    assert np.all(np.asarray(statuses) == QPSolutionStatus.Optimal)
+
+
+def test_warmstart_consistency():
+    """Repeated calls at the same state give the same input
+    (reference test_mpc.cpp:93-99)."""
+    step, ws0, _, _ = _di_mpc(K=8, tf=2.0)
+    x = jnp.array([0.3, -0.2])
+    r1 = step(ws0, 1.0, x)
+    r2 = step(r1.warmstart, 1.0, x)
+    assert int(r1.status) == QPSolutionStatus.Optimal
+    assert int(r2.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(r1.u, r2.u, atol=1e-3)
+
+    # trajectories shapes: len(u_traj) + 1 == len(x_traj)
+    assert r1.u_traj.shape[0] + 1 == r1.x_traj.shape[0]
+
+
+def test_mpc_class_api():
+    """Stateful wrapper mirrors reference API (test_mpc.cpp:70-121)."""
+    X, U = SE2, Rn(2)
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros(()), u[1]])
+    mpc = MPC(
+        X, U, f,
+        params=MPCParams(K=8, tf=2.0),
+        cr=lambda x, u: u, crl=-jnp.ones(2), cru=jnp.ones(2),
+    )
+    key = jax.random.PRNGKey(0)
+    x = SE2.random(key, 0.3)
+
+    u0, code0 = mpc(1.0, x)  # nothing set
+    assert code0 == QPSolutionStatus.Optimal
+
+    mpc.reset_warmstart()
+    mpc.set_weights(MPCWeights(Q=jnp.eye(3), Qtf=jnp.eye(3), R=jnp.eye(2)))
+    mpc.set_udes(lambda t: jnp.ones(2))
+    mpc.set_xdes(lambda t: SE2.identity())
+
+    u1, code1 = mpc(2.0, x)
+    assert code1 == QPSolutionStatus.Optimal
+    u2, code2 = mpc(3.0, x)
+    assert code2 == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(u1, u2, atol=1e-3)
+
+
+def test_se2_closed_loop_tracking():
+    """SE(2) kinematic vehicle MPC tracks a feasible circular trajectory
+    (the linearization is exact along the reference, like the vehicle example
+    examples/mpc_asif_vehicle.cpp)."""
+    X, U = SE2, Rn(2)
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros(()), u[1]])  # (v, 0, omega)
+    twist = jnp.array([0.5, 0.0, 0.3])  # feasible screw motion
+    xdes = lambda t: SE2.exp(t * twist)
+    udes = lambda t: jnp.stack([twist[0], twist[2]])
+    dxdes = lambda t: twist
+
+    step, ws0 = make_mpc_step(
+        X, U, f,
+        xdes=xdes, udes=udes, dxdes=dxdes,
+        weights=MPCWeights(Q=jnp.eye(3), Qtf=5 * jnp.eye(3), R=0.1 * jnp.eye(2)),
+        params=MPCParams(K=8, tf=3.0),
+    )
+
+    dt = 0.1
+    def body(carry, i):
+        x, ws = carry
+        res = step(ws, i * dt, x)
+        x = SE2.rplus(x, dt * f(x, res.u))
+        return (x, res.warmstart), (res.status, x)
+
+    # start offset from the reference
+    x0 = SE2.rplus(SE2.identity(), jnp.array([-0.3, 0.2, 0.1]))
+    (xf, _), (statuses, xs) = jax.lax.scan(body, (x0, ws0), jnp.arange(120))
+    final_err = np.linalg.norm(np.asarray(SE2.rminus(xf, xdes(120 * dt))))
+    assert final_err < 0.05, f"final pose error {final_err}"
+    assert np.all(np.asarray(statuses) == QPSolutionStatus.Optimal)
+
+
+def test_vmap_fleet():
+    """A fleet of MPC controllers with different states batches under vmap."""
+    step, ws0, _, _ = _di_mpc(K=8, tf=2.0)
+    B = 4
+    xs = jnp.stack([jnp.array([1.0, 0.0]), jnp.array([0.0, 1.0]),
+                    jnp.array([-1.0, 0.0]), jnp.array([0.5, -0.5])])
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
+    res = jax.jit(jax.vmap(lambda w, x: step(w, 0.0, x)))(wss, xs)
+    assert res.u.shape == (B, 1)
+    assert np.all(np.asarray(res.status) == QPSolutionStatus.Optimal)
