@@ -83,6 +83,7 @@ def make_mpc_step(
     Kmesh: int = 4,
     dxdes: Optional[Callable] = None,
     dtype=jnp.float64,
+    reuse_factors: bool = False,
 ):
     """Build the functional MPC step.
 
@@ -92,9 +93,17 @@ def make_mpc_step(
       xdes/udes: desired trajectory ``t -> params`` (absolute time,
         jax-traceable); dxdes optionally provides the body velocity of xdes.
       cr/crl/cru: optional running constraints ``cr(x, u) -> (ncr,)``.
+      reuse_factors: when True, the QP scaling + KKT factorization is computed
+        ONCE at construction and reused every step — removes the dominant
+        per-solve cost.  Only valid when the QP's P and A matrices are
+        step-invariant: Euclidean state (or linearization-independent
+        Jacobians), time-invariant f/cr Jacobians along xdes, constant
+        weights.  The reference has no analog (it refactorizes per solve).
 
     Returns ``(step, init_warmstart)`` where
     ``step(warmstart, t, x) -> MPCStepResult`` is jit/vmap/scan-compatible.
+    ``step.fleet(warmstarts, ts, xs)`` is the batched variant;
+    ``step.transcribe(t, x)`` exposes the QP assembly.
     """
     nx, nu = X.ndof, U.ndof
     n_ival = -(-params.K // Kmesh)  # ceil, cf. mpc.hpp:408
@@ -180,11 +189,21 @@ def make_mpc_step(
             u=u, status=sol.status, warmstart=new_ws, u_traj=u_traj, x_traj=x_traj
         )
 
+    if reuse_factors:
+        from ..qp.solver import qp_factorize
+
+        qp0 = jax.jit(transcribe)(jnp.zeros((), dtype), X.identity(dtype))
+        factors1 = qp_factorize(jax.tree.map(lambda a: a[None], qp0), params.qp)
+    else:
+        factors1 = None
+
     def step(warmstart: QPSolution, t, x) -> MPCStepResult:
         qp = transcribe(t, x)
         qp_b = jax.tree.map(lambda a: a[None], qp)
         ws_b = jax.tree.map(lambda a: a[None], warmstart)
-        sol_b = solve_qp_batch(qp_b, params.qp, ws_b if params.warmstart else None)
+        sol_b = solve_qp_batch(
+            qp_b, params.qp, ws_b if params.warmstart else None, factors1
+        )
         sol = jax.tree.map(lambda a: a[0], sol_b)
         return _finalize(sol, warmstart, jnp.asarray(t, dtype))
 
@@ -197,7 +216,17 @@ def make_mpc_step(
         check into per-element selects)."""
         ts = jnp.broadcast_to(jnp.asarray(ts, dtype), xs.shape[:1])
         qps = jax.vmap(transcribe)(ts, xs)
-        sols = solve_qp_batch(qps, params.qp, warmstarts if params.warmstart else None)
+        B = int(xs.shape[0])
+        factorsB = (
+            None
+            if factors1 is None
+            else jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape[1:]), factors1
+            )
+        )
+        sols = solve_qp_batch(
+            qps, params.qp, warmstarts if params.warmstart else None, factorsB
+        )
         return jax.vmap(_finalize)(sols, warmstarts, ts)
 
     step.fleet = fleet_step

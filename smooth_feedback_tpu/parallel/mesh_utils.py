@@ -1,0 +1,46 @@
+"""Data-parallel sharding of problem batches over a device mesh.
+
+The reference is single-threaded C++ (SURVEY section 2: no parallelism of any
+kind); the TPU-native scaling model is pure data parallelism over independent
+problem instances (QPs, filters, MPC steps): a 1-D mesh, batch axis sharded
+across chips, no inter-problem communication.  The only collectives are the
+all-reduce XLA inserts for the solver's global stopping predicate
+``any(status == RUNNING)`` and for summary statistics — both ride ICI.
+
+Use :func:`dp_mesh` + :func:`shard_batch` and call the ordinary batched APIs
+(``solve_qp_batch``, ``step.fleet``): jit propagates the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def dp_mesh(devices: Optional[Sequence] = None, axis_name: str = "dp") -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(array, mesh: Mesh, axis_name: str = "dp"):
+    """Shard the leading (batch) axis of one array across the mesh."""
+    spec = P(axis_name, *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def shard_pytree(tree, mesh: Mesh, axis_name: str = "dp"):
+    """Shard the leading axis of every leaf of a pytree (QuadraticProgram,
+    QPSolution warmstarts, EKFState fleets, ...)."""
+    return jax.tree.map(lambda a: shard_batch(a, mesh, axis_name), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh (for shared parameters)."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), tree
+    )

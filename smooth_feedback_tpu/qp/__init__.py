@@ -1,6 +1,6 @@
 """Batched dense QP solving (L2 numerical kernel layer)."""
 
-from .solver import solve_qp, solve_qp_batch
+from .solver import QPFactors, qp_factorize, solve_qp, solve_qp_batch
 from .types import (
     QPSolution,
     QPSolutionStatus,
@@ -16,6 +16,8 @@ __all__ = [
     "QPSolutionStatus",
     "QPSolverParams",
     "solve_qp",
+    "qp_factorize",
+    "QPFactors",
     "solve_qp_batch",
     "random_qp",
     "warmstart_like",

@@ -29,7 +29,7 @@ criteria, primal/dual infeasibility certificates, warmstart scaling).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -226,30 +226,31 @@ def _polish(prm, P, q, A, l, u, c, sx, sy, x, y):
 # -------------------------------------------------------------------- solver
 
 
-@functools.partial(jax.jit, static_argnames=("prm",))
-def solve_qp_batch(
-    qp: QuadraticProgram,
-    prm: QPSolverParams = QPSolverParams(),
-    warmstart: Optional[QPSolution] = None,
-) -> QPSolution:
-    """Solve a batch of dense QPs; every field of ``qp`` has leading batch axis.
+class QPFactors(NamedTuple):
+    """Precomputed per-problem scaling + KKT factorization.
 
-    One scalar while-loop drives all batch elements; per-element status and
-    iteration counts are returned in the solution (reference semantics of
-    QPSolver::solve, qp_solver.hpp:343-568)."""
-    # TPU matmuls default to bf16 for f32 inputs, which stalls ADMM far above
-    # the stopping tolerances; force full-precision accumulation throughout.
-    with jax.default_matmul_precision("highest"):
-        return _solve_qp_batch_impl(qp, prm, warmstart)
+    For problem families whose P and A are fixed while q/l/u vary between
+    solves (e.g. LTI tracking MPC), computing this once and passing it to
+    :func:`solve_qp_batch` removes the dominant per-solve cost (Ruiz sweeps,
+    Cholesky, inverse).  No reference analog — the reference refactorizes
+    every solve (qp_solver.hpp:423-429)."""
+
+    c: jax.Array  # (B,) cost scaling
+    sx: jax.Array  # (B, n) variable scaling
+    sy: jax.Array  # (B, m) constraint scaling
+    rho: jax.Array  # (B, m) per-row dual step
+    Ps: jax.Array  # (B, n, n) scaled P
+    As: jax.Array  # (B, m, n) scaled A
+    Mred: jax.Array  # (B, n, n) reduced KKT matrix
+    Minv: jax.Array  # (B, n, n) its SPD inverse
+    fact_ok: jax.Array  # (B,) factorization success
 
 
-def _solve_qp_batch_impl(qp, prm, warmstart):
-    P, q, A, l, u = qp
+def _factorize(P, q, A, l, u, prm):
     dt = P.dtype
     B, m, n = A.shape
     inf = jnp.asarray(jnp.inf, dt)
 
-    # ---- scaling
     if prm.scaling:
         c, sx, sy = jax.vmap(_ruiz)(P, q, A)
     else:
@@ -257,23 +258,15 @@ def _solve_qp_batch_impl(qp, prm, warmstart):
         sx = jnp.ones((B, n), dt)
         sy = jnp.ones((B, m), dt)
 
-    # ---- trivial infeasibility + per-row rho (qp_solver.hpp:361-374)
-    bad_row = jnp.logical_or(l == inf, jnp.logical_or(u == -inf, (u - l) < 0))
-    trivially_infeasible = bad_row.any(axis=1)
-
+    # per-row rho (qp_solver.hpp:361-374)
     unbounded = jnp.logical_and(l == -inf, u == inf)
     eq = sy * jnp.abs(l - u) < 1e-5  # NaN (inf-inf) compares False => inequality
     rho_bar = jnp.asarray(prm.rho, dt)
     rho = jnp.where(unbounded, jnp.asarray(1e-6, dt), jnp.where(eq, 1e3 * rho_bar, rho_bar))
 
-    # ---- scaled data
     Ps = c[:, None, None] * sx[:, :, None] * sx[:, None, :] * P
-    qs = c[:, None] * sx * q
     As = sy[:, :, None] * A * sx[:, None, :]
-    ls = sy * l
-    us = sy * u
 
-    # ---- factorization of the reduced (Schur) matrix
     Mred = (
         Ps
         + prm.sigma * jnp.eye(n, dtype=dt)[None]
@@ -281,20 +274,80 @@ def _solve_qp_batch_impl(qp, prm, warmstart):
     )
     L = jnp.linalg.cholesky(Mred)
     fact_fail = jnp.logical_not(jnp.isfinite(L).all(axis=(1, 2)))
+    # neutralize broken factors so frozen elements don't poison the batch
+    L = jnp.where(fact_fail[:, None, None], jnp.eye(n, dtype=dt)[None], L)
+
+    # Explicit SPD inverse M^{-1} = L^{-T} L^{-1}, built with ONE blocked
+    # triangular solve (n right-hand sides -> matmul-friendly).  Per-ADMM-
+    # iteration KKT solves then become batched matvecs on the MXU; per-vector
+    # triangular substitution is pathologically slow on TPU.
+    eyeN = jnp.broadcast_to(jnp.eye(n, dtype=dt), (B, n, n))
+    Linv = jax.scipy.linalg.solve_triangular(L, eyeN, lower=True)
+    Minv = jnp.einsum("bkn,bkm->bnm", Linv, Linv)
+
+    return QPFactors(
+        c=c, sx=sx, sy=sy, rho=rho, Ps=Ps, As=As, Mred=Mred, Minv=Minv,
+        fact_ok=jnp.logical_not(fact_fail),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("prm",))
+def qp_factorize(qp: QuadraticProgram, prm: QPSolverParams = QPSolverParams()) -> QPFactors:
+    """Precompute scaling and KKT factorization for a (batched) QP template."""
+    with jax.default_matmul_precision("highest"):
+        P, q, A, l, u = qp
+        return _factorize(P, q, A, l, u, prm)
+
+
+@functools.partial(jax.jit, static_argnames=("prm",))
+def solve_qp_batch(
+    qp: QuadraticProgram,
+    prm: QPSolverParams = QPSolverParams(),
+    warmstart: Optional[QPSolution] = None,
+    factors: Optional[QPFactors] = None,
+) -> QPSolution:
+    """Solve a batch of dense QPs; every field of ``qp`` has leading batch axis.
+
+    One scalar while-loop drives all batch elements; per-element status and
+    iteration counts are returned in the solution (reference semantics of
+    QPSolver::solve, qp_solver.hpp:343-568).
+
+    If ``factors`` is supplied (see :func:`qp_factorize`), P/A are assumed to
+    match the template the factors were built from; only q/l/u are read fresh.
+    """
+    # TPU matmuls default to bf16 for f32 inputs, which stalls ADMM far above
+    # the stopping tolerances; force full-precision accumulation throughout.
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_batch_impl(qp, prm, warmstart, factors)
+
+
+def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
+    P, q, A, l, u = qp
+    dt = P.dtype
+    B, m, n = A.shape
+    inf = jnp.asarray(jnp.inf, dt)
+
+    if factors is None:
+        factors = _factorize(P, q, A, l, u, prm)
+    c, sx, sy, rho, Ps, As, Mred, Minv, fact_ok = factors
+
+    # ---- trivial infeasibility (qp_solver.hpp:361-364)
+    bad_row = jnp.logical_or(l == inf, jnp.logical_or(u == -inf, (u - l) < 0))
+    trivially_infeasible = bad_row.any(axis=1)
 
     status0 = jnp.where(
         trivially_infeasible,
         _PRIMAL_INF,
-        jnp.where(fact_fail, _UNKNOWN, _RUNNING),
+        jnp.where(jnp.logical_not(fact_ok), _UNKNOWN, _RUNNING),
     ).astype(jnp.int32)
-    # neutralize broken factors so frozen elements don't poison the batch
-    L = jnp.where(fact_fail[:, None, None], jnp.eye(n, dtype=dt)[None], L)
+
+    # ---- scaled vectors
+    qs = c[:, None] * sx * q
+    ls = sy * l
+    us = sy * u
 
     def Msolve0(r):
-        t = jax.scipy.linalg.solve_triangular(L, r[..., None], lower=True)
-        return jax.scipy.linalg.solve_triangular(
-            L, t, lower=True, trans=1
-        )[..., 0]
+        return jnp.einsum("bnm,bm->bn", Minv, r)
 
     n_refine = max(0, prm.kkt_refine_iters)
 
