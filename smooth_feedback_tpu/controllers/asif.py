@@ -164,7 +164,7 @@ def make_asif_step(
     params: ASIFilterParams = ASIFilterParams(),
     W_u: Optional[jax.Array] = None,
     ulim: Optional[ManifoldBounds] = None,
-    dtype=jnp.float64,
+    dtype=None,
 ):
     """Build the functional ASIF step (cf. ASIFilter, asif.hpp:41-112).
 
@@ -221,7 +221,7 @@ class ASIFilter:
     """Stateful convenience wrapper mirroring the reference class API
     (asif.hpp:41).  ``filter(x, u_des) -> (u, status)``."""
 
-    def __init__(self, X, U, f, h, bu, *, params=ASIFilterParams(), W_u=None, ulim=None, dtype=jnp.float64):
+    def __init__(self, X, U, f, h, bu, *, params=ASIFilterParams(), W_u=None, ulim=None, dtype=None):
         self._step, self._ws = make_asif_step(
             X, U, f, h, bu, params=params, W_u=W_u, ulim=ulim, dtype=dtype
         )

@@ -52,7 +52,7 @@ class MPCWeights(NamedTuple):
     R: jax.Array  # (nu, nu) running input cost
 
 
-def default_weights(X: LieGroup, U: LieGroup, dtype=jnp.float64) -> MPCWeights:
+def default_weights(X: LieGroup, U: LieGroup, dtype=None) -> MPCWeights:
     return MPCWeights(
         Q=jnp.eye(X.ndof, dtype=dtype),
         Qtf=jnp.eye(X.ndof, dtype=dtype),
@@ -82,7 +82,7 @@ def make_mpc_step(
     cru: Optional[jax.Array] = None,
     Kmesh: int = 4,
     dxdes: Optional[Callable] = None,
-    dtype=jnp.float64,
+    dtype=None,
     reuse_factors: bool = False,
 ):
     """Build the functional MPC step.
@@ -263,7 +263,7 @@ class MPC:
         crl=None,
         cru=None,
         Kmesh: int = 4,
-        dtype=jnp.float64,
+        dtype=None,
     ):
         self.X, self.U, self.f = X, U, f
         self.params = params

@@ -47,13 +47,13 @@ class PIDGains(NamedTuple):
     ki: jax.Array  # (ndof,)
 
 
-def pid_init(G: LieGroup, dtype=jnp.float64) -> PIDState:
+def pid_init(G: LieGroup, dtype=None) -> PIDState:
     return PIDState(
         t_last=jnp.asarray(jnp.nan, dtype), i_err=jnp.zeros((G.ndof,), dtype)
     )
 
 
-def pid_gains(G: LieGroup, kp=1.0, kd=1.0, ki=0.0, dtype=jnp.float64) -> PIDGains:
+def pid_gains(G: LieGroup, kp=1.0, kd=1.0, ki=0.0, dtype=None) -> PIDGains:
     ones = jnp.ones((G.ndof,), dtype)
     return PIDGains(kp=kp * ones, kd=kd * ones, ki=ki * ones)
 
@@ -95,7 +95,7 @@ class PID:
     """Stateful convenience wrapper mirroring the reference class API
     (pid.hpp:39).  For batched/jitted pipelines prefer ``pid_step``."""
 
-    def __init__(self, G: LieGroup, params: PIDParams = PIDParams(), dtype=jnp.float64):
+    def __init__(self, G: LieGroup, params: PIDParams = PIDParams(), dtype=None):
         self.G = G
         self.params = params
         self.gains = pid_gains(G, dtype=dtype)

@@ -99,7 +99,8 @@ def ekf_predict(
         g = state_step(t, g)
         return (g, P), None
 
-    (g, P), _ = jax.lax.scan(body, (g0, P0), jnp.arange(n_steps))
+    with jax.default_matmul_precision("highest"):
+        (g, P), _ = jax.lax.scan(body, (g0, P0), jnp.arange(n_steps))
     return EKFState(g=g, P=P)
 
 
@@ -129,12 +130,17 @@ def ekf_update(
         H = jax.jacfwd(lambda w: Y.rminus(h(G.rplus(g, w)), hval))(z)
         innov = Y.rminus(y, hval)
 
-    S = H @ P @ H.T + R
-    cf = jax.scipy.linalg.cho_factor(_sym(S))
-    K = jax.scipy.linalg.cho_solve(cf, H @ P).T
+    # full-precision matmuls (TPU defaults to bf16 for f32 inputs) and the
+    # Joseph-form covariance update: both are required to keep P positive
+    # semidefinite through long f32 filter runs.
+    with jax.default_matmul_precision("highest"):
+        S = H @ P @ H.T + R
+        cf = jax.scipy.linalg.cho_factor(_sym(S))
+        K = jax.scipy.linalg.cho_solve(cf, H @ P).T
 
-    g_new = G.rplus(g, K @ innov)
-    P_new = _sym((jnp.eye(G.ndof, dtype=dt) - K @ H) @ P)
+        g_new = G.rplus(g, K @ innov)
+        IKH = jnp.eye(G.ndof, dtype=dt) - K @ H
+        P_new = _sym(IKH @ P @ IKH.T + K @ R @ K.T)
     return EKFState(g=g_new, P=P_new)
 
 

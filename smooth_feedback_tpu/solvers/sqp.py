@@ -1,0 +1,216 @@
+"""Native SQP solver for nonlinear programs.
+
+The reference delegates its collocation NLPs to Ipopt through a C++ adapter
+(compat/ipopt.hpp); this framework ships a TPU-native solver instead: a
+line-search SQP where
+
+* derivatives (gradient, constraint Jacobian, Lagrangian Hessian) come from
+  jax autodiff of the NLP's traceable callables,
+* each subproblem is a dense QP solved by the batched ADMM kernel
+  (warmstarted across SQP iterations),
+* an adaptive Levenberg regularization keeps the Hessian ADMM-friendly,
+* a fixed-grid backtracking line search on the l1 merit function picks the
+  step inside the traced loop.
+
+The entire solve is one ``lax.while_loop`` — it can run under jit and
+``jax.vmap`` (fleets of NLPs in lockstep).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ocp.nlp import NLP, NLPSolution, NLPSolutionStatus
+from ..qp.solver import solve_qp_batch
+from ..qp.types import QPSolution, QPSolutionStatus, QPSolverParams, QuadraticProgram
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPParams:
+    max_iter: int = 100
+    tol: float = 1e-6  # KKT inf-norm tolerance
+    qp: QPSolverParams = dataclasses.field(
+        default_factory=lambda: QPSolverParams(
+            eps_abs=1e-9, eps_rel=1e-9, max_iter=4000, polish=True
+        )
+    )
+    reg_init: float = 1e-6
+    reg_min: float = 1e-8
+    reg_max: float = 1e8
+    ls_steps: int = 16  # backtracking grid size (alpha = 0.5**k)
+    armijo: float = 1e-4
+
+
+def _violation(nlp: NLP, x, gval):
+    """Total l1 constraint + bound violation."""
+    vg = jnp.sum(jnp.maximum(0.0, nlp.gl - gval) + jnp.maximum(0.0, gval - nlp.gu))
+    vx = jnp.sum(jnp.maximum(0.0, nlp.xl - x) + jnp.maximum(0.0, x - nlp.xu))
+    return vg + vx
+
+
+def solve_nlp_sqp(
+    nlp: NLP,
+    x0: jax.Array,
+    params: SQPParams = SQPParams(),
+    lam0: Optional[jax.Array] = None,
+) -> NLPSolution:
+    """Solve an NLP with line-search SQP; jit/vmap-compatible."""
+    n, m = nlp.n, nlp.m
+    dt = x0.dtype
+    inf = jnp.asarray(jnp.inf, dt)
+
+    grad_f = jax.grad(nlp.f)
+    jac_g = jax.jacrev(nlp.g)
+
+    def lag_hess(x, lam):
+        return jax.hessian(lambda xx: nlp.f(xx) + lam @ nlp.g(xx))(x)
+
+    eyeN = jnp.eye(n, dtype=dt)
+    alphas = 0.5 ** jnp.arange(params.ls_steps, dtype=dt)  # 1, 1/2, 1/4, ...
+
+    class _State(NamedTuple):
+        it: jax.Array
+        x: jax.Array
+        lam: jax.Array
+        z: jax.Array  # bound multipliers
+        reg: jax.Array
+        kkt: jax.Array
+        done: jax.Array
+        qp_ws: QPSolution
+
+    def kkt_residual(x, lam, z, gval, grad, J):
+        stat = jnp.max(jnp.abs(grad + J.T @ lam + z))
+        # feasibility
+        vg = jnp.maximum(
+            jnp.max(jnp.maximum(0.0, nlp.gl - gval), initial=0.0),
+            jnp.max(jnp.maximum(0.0, gval - nlp.gu), initial=0.0),
+        )
+        vx = jnp.maximum(
+            jnp.max(jnp.maximum(0.0, nlp.xl - x), initial=0.0),
+            jnp.max(jnp.maximum(0.0, x - nlp.xu), initial=0.0),
+        )
+        return jnp.maximum(stat, jnp.maximum(vg, vx))
+
+    def body(st: _State) -> _State:
+        x, lam = st.x, st.lam
+        fval = nlp.f(x)
+        grad = grad_f(x)
+        gval = nlp.g(x)
+        J = jac_g(x)
+        H = lag_hess(x, lam)
+        H = 0.5 * (H + H.T) + st.reg * eyeN
+
+        # QP subproblem in the step d
+        A = jnp.concatenate([J, eyeN], axis=0)
+        lqp = jnp.concatenate([nlp.gl - gval, nlp.xl - x])
+        uqp = jnp.concatenate([nlp.gu - gval, nlp.xu - x])
+        qp = QuadraticProgram(P=H, q=grad, A=A, l=lqp, u=uqp)
+        qp_b = jax.tree.map(lambda a: a[None], qp)
+        ws_b = jax.tree.map(lambda a: a[None], st.qp_ws)
+        sol = jax.tree.map(
+            lambda a: a[0], solve_qp_batch(qp_b, params.qp, ws_b)
+        )
+        d = sol.primal
+        lam_qp = sol.dual[:m]
+        z_qp = sol.dual[m:]
+        qp_ok = jnp.logical_or(
+            sol.status == QPSolutionStatus.Optimal,
+            sol.status == QPSolutionStatus.PolishFailed,
+        )
+        d = jnp.where(qp_ok, d, jnp.zeros_like(d))
+
+        # l1 merit line search on a fixed alpha grid
+        mu = 2.0 * jnp.max(jnp.abs(lam_qp), initial=1.0) + 1.0
+        viol0 = _violation(nlp, x, gval)
+        phi0 = fval + mu * viol0
+        # directional derivative (upper bound): grad'd - mu*viol0
+        dd = grad @ d - mu * viol0
+
+        def merit(alpha):
+            xa = x + alpha * d
+            return nlp.f(xa) + mu * _violation(nlp, xa, nlp.g(xa))
+
+        phis = jax.vmap(merit)(alphas)
+        armijo_ok = phis <= phi0 + params.armijo * alphas * dd
+        any_ok = jnp.any(armijo_ok)
+        first_ok = jnp.argmax(armijo_ok)  # first True (alphas descending)
+        best = jnp.argmin(phis)
+        pick = jnp.where(any_ok, first_ok, best)
+        alpha = jnp.where(
+            jnp.logical_and(qp_ok, jnp.logical_or(any_ok, phis[best] < phi0)),
+            alphas[pick],
+            jnp.zeros((), dt),
+        )
+
+        x_new = x + alpha * d
+        lam_new = (1 - alpha) * lam + alpha * lam_qp
+        z_new = (1 - alpha) * st.z + alpha * z_qp
+
+        # adapt regularization
+        reg = jnp.where(
+            alpha >= 0.5,
+            jnp.maximum(st.reg / 10.0, params.reg_min),
+            jnp.where(
+                alpha <= 1e-3,
+                jnp.minimum(st.reg * 10.0 + 1e-6, params.reg_max),
+                st.reg,
+            ),
+        )
+
+        g_new = nlp.g(x_new)
+        kkt = kkt_residual(x_new, lam_new, z_new, g_new, grad_f(x_new), jac_g(x_new))
+        done = kkt <= params.tol
+        return _State(
+            it=st.it + 1,
+            x=x_new,
+            lam=lam_new,
+            z=z_new,
+            reg=reg,
+            kkt=kkt,
+            done=done,
+            qp_ws=sol,
+        )
+
+    def cond(st: _State):
+        return jnp.logical_and(st.it < params.max_iter, jnp.logical_not(st.done))
+
+    lam_init = jnp.zeros((m,), dt) if lam0 is None else lam0
+    ws0 = QPSolution(
+        primal=jnp.zeros((n,), dt),
+        dual=jnp.zeros((m + n,), dt),
+        status=jnp.asarray(int(QPSolutionStatus.Unknown), jnp.int32),
+        iters=jnp.asarray(0, jnp.int32),
+        objective=jnp.asarray(0.0, dt),
+        primal_res=inf,
+        dual_res=inf,
+    )
+    st0 = _State(
+        it=jnp.int32(0),
+        x=jnp.asarray(x0, dt),
+        lam=lam_init,
+        z=jnp.zeros((n,), dt),
+        reg=jnp.asarray(params.reg_init, dt),
+        kkt=inf,
+        done=jnp.asarray(False),
+        qp_ws=ws0,
+    )
+    st = lax.while_loop(cond, body, st0)
+
+    status = jnp.where(
+        st.done, int(NLPSolutionStatus.Optimal), int(NLPSolutionStatus.IterationLimit)
+    ).astype(jnp.int32)
+    return NLPSolution(
+        status=status,
+        iters=st.it,
+        x=st.x,
+        zl=jnp.maximum(-st.z, 0.0),
+        zu=jnp.maximum(st.z, 0.0),
+        lam=st.lam,
+        objective=nlp.f(st.x),
+        kkt_res=st.kkt,
+    )

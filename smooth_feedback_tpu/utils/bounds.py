@@ -22,7 +22,7 @@ class ManifoldBounds(NamedTuple):
     u: jax.Array  # (nb,)
 
 
-def empty_bounds(G: LieGroup, dtype=jnp.float64) -> ManifoldBounds:
+def empty_bounds(G: LieGroup, dtype=None) -> ManifoldBounds:
     return ManifoldBounds(
         A=jnp.zeros((0, G.ndof), dtype),
         c=G.identity(dtype),
@@ -31,7 +31,7 @@ def empty_bounds(G: LieGroup, dtype=jnp.float64) -> ManifoldBounds:
     )
 
 
-def box_bounds(G: LieGroup, lo, hi, dtype=jnp.float64) -> ManifoldBounds:
+def box_bounds(G: LieGroup, lo, hi, dtype=None) -> ManifoldBounds:
     """Axis-aligned bounds around the identity."""
     return ManifoldBounds(
         A=jnp.eye(G.ndof, dtype=dtype),
