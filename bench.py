@@ -45,7 +45,9 @@ def main():
         params=MPCParams(
             K=50,
             tf=5.0,
-            qp=QPSolverParams(scaling=True, polish=False, max_iter=150),
+            qp=QPSolverParams(
+                scaling=True, polish=False, max_iter=150, backend="pallas"
+            ),
         ),
         cr=lambda x, u: u,
         crl=jnp.array([-0.5], dtype),

@@ -1,0 +1,75 @@
+"""Bridge to Ipopt via cyipopt (cf. reference compat/ipopt.hpp).
+
+Activates only when ``cyipopt`` is installed (not in this image; the native
+SQP solver in ``smooth_feedback_tpu.solvers`` and the scipy bridge cover its
+role).  Derivatives are supplied to Ipopt from jax autodiff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ocp.nlp import NLP, NLPSolution, NLPSolutionStatus
+
+
+def ipopt_available() -> bool:
+    try:
+        import cyipopt  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def solve_nlp_ipopt(nlp: NLP, x0, options: dict | None = None) -> NLPSolution:
+    """Solve an NLP with Ipopt, jax-provided first derivatives and an L-BFGS
+    Hessian (the reference example configuration, ocp_se2_nlp.cpp:60-66)."""
+    import cyipopt
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(nlp.f)
+    grad = jax.jit(jax.grad(nlp.f))
+    g = jax.jit(nlp.g)
+    jac = jax.jit(jax.jacrev(nlp.g))
+
+    class _Problem:
+        def objective(self, x):
+            return float(f(jnp.asarray(x)))
+
+        def gradient(self, x):
+            return np.asarray(grad(jnp.asarray(x)))
+
+        def constraints(self, x):
+            return np.asarray(g(jnp.asarray(x)))
+
+        def jacobian(self, x):
+            return np.asarray(jac(jnp.asarray(x))).ravel()
+
+    problem = cyipopt.Problem(
+        n=nlp.n,
+        m=nlp.m,
+        problem_obj=_Problem(),
+        lb=np.clip(np.asarray(nlp.xl), -2e19, 2e19),
+        ub=np.clip(np.asarray(nlp.xu), -2e19, 2e19),
+        cl=np.clip(np.asarray(nlp.gl), -2e19, 2e19),
+        cu=np.clip(np.asarray(nlp.gu), -2e19, 2e19),
+    )
+    problem.add_option("hessian_approximation", "limited-memory")
+    for k, v in (options or {}).items():
+        problem.add_option(k, v)
+
+    x, info = problem.solve(np.asarray(x0, np.float64))
+    status = (
+        NLPSolutionStatus.Optimal if info["status"] in (0, 1) else NLPSolutionStatus.Unknown
+    )
+    return NLPSolution(
+        status=np.int32(int(status)),
+        iters=np.int32(0),
+        x=np.asarray(x),
+        zl=np.asarray(info["mult_x_L"]),
+        zu=np.asarray(info["mult_x_U"]),
+        lam=-np.asarray(info["mult_g"]),
+        objective=np.float64(info["obj_val"]),
+        kkt_res=np.float64(0.0),
+    )

@@ -307,6 +307,15 @@ class MPC:
         self._udes = udes
         self._step = None
 
+    def set_xdes_rel(self, xdes_rel: Callable, t0=0.0):
+        """Desired state trajectory in relative time (cf. mpc.hpp:573-588);
+        the body velocity comes from time-autodiff of the trajectory."""
+        self.set_xdes(lambda t: xdes_rel(t - t0))
+
+    def set_udes_rel(self, udes_rel: Callable, t0=0.0):
+        """Desired input trajectory in relative time (cf. mpc.hpp:537-545)."""
+        self.set_udes(lambda t: udes_rel(t - t0))
+
     def set_weights(self, weights: MPCWeights):
         self.weights = weights
         self._step = None

@@ -368,6 +368,37 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         y0 = jnp.zeros((B, m), dt)
         z0 = jnp.zeros((B, m), dt)
 
+    if prm.backend == "pallas":
+        from .pallas_kernel import admm_iterate_pallas
+
+        interp = jax.default_backend() != "tpu"
+        x, z, y, status, iters, pres, dres = admm_iterate_pallas(
+            prm,
+            factors.Minv,
+            factors.As,
+            Ps,
+            qs,
+            ls,
+            us,
+            rho,
+            sx,
+            sy,
+            c,
+            l,
+            u,
+            x0,
+            z0,
+            y0,
+            status0,
+            interpret=interp,
+        )
+        x = x.astype(dt)
+        z = z.astype(dt)
+        y = y.astype(dt)
+        pres = pres.astype(dt)
+        dres = dres.astype(dt)
+        return _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres)
+
     alpha = jnp.asarray(prm.alpha, dt)
 
     def cond(state):
@@ -424,7 +455,10 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
     _, x, z, y, status, iters, pres, dres = lax.while_loop(cond, body, init)
 
     status = jnp.where(status == _RUNNING, _MAX_ITER, status)
+    return _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres)
 
+
+def _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres):
     # ---- polish (only Optimal elements take the polished values)
     if prm.polish:
         x_pol, y_pol, ok = _polish(prm, P, q, A, l, u, c, sx, sy, x, y)

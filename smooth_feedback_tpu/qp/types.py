@@ -79,6 +79,10 @@ class QPSolverParams:
     # forces full-f32 matmul precision on TPU; refinement is only needed when
     # pushing f32 toward ~1e-6 tolerances. No reference analog (f64-only).
     kkt_refine_iters: int = 0
+    # Iteration-loop backend: "xla" (batched einsums, any dtype) or "pallas"
+    # (fused TPU kernel keeping each problem's matrices in VMEM across the
+    # whole iteration; float32 only, falls back to interpret mode off-TPU).
+    backend: str = "xla"
 
 
 def random_qp(

@@ -1,0 +1,16 @@
+"""Utilities: bounds sets, Lie-group splines, derivative helpers."""
+
+from .bounds import ManifoldBounds, box_bounds, empty_bounds
+from .linalg import d2r_fog
+from .spline import LieSpline, fit_spline, spline_eval, spline_pos
+
+__all__ = [
+    "ManifoldBounds",
+    "box_bounds",
+    "empty_bounds",
+    "LieSpline",
+    "fit_spline",
+    "spline_eval",
+    "spline_pos",
+    "d2r_fog",
+]

@@ -1,0 +1,93 @@
+"""Utility tests: Lie-group splines (role of smooth::Spline for the PID,
+pid.hpp:142-159) and the Hessian-of-composition rule (utils/sparse.hpp:210)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smooth_feedback_tpu.controllers import PID
+from smooth_feedback_tpu.groups import SE2, SO3, Rn
+from smooth_feedback_tpu.utils import d2r_fog, fit_spline, spline_eval, spline_pos
+
+
+def test_spline_interpolates_knots():
+    key = jax.random.PRNGKey(0)
+    ts = [0.0, 1.0, 2.5, 4.0]
+    gs = jax.vmap(lambda k: SE2.random(k, 0.5))(jax.random.split(key, 4))
+    sp = fit_spline(SE2, ts, gs)
+    for i, t in enumerate(ts):
+        g = spline_pos(SE2, sp, jnp.asarray(t))
+        np.testing.assert_allclose(g, gs[i], atol=1e-9)
+
+
+def test_spline_velocity_consistency():
+    """Returned body velocity matches finite differences of the position."""
+    key = jax.random.PRNGKey(1)
+    ts = [0.0, 1.0, 2.0, 3.0]
+    gs = jax.vmap(lambda k: SO3.random(k, 0.4))(jax.random.split(key, 4))
+    sp = fit_spline(SO3, ts, gs)
+
+    for t in [0.3, 1.5, 2.7]:
+        g, v, a = spline_eval(SO3, sp, jnp.asarray(t))
+        eps = 1e-6
+        gp = spline_pos(SO3, sp, jnp.asarray(t + eps))
+        gm = spline_pos(SO3, sp, jnp.asarray(t - eps))
+        v_fd = SO3.rminus(gp, gm) / (2 * eps)
+        np.testing.assert_allclose(v, v_fd, atol=1e-5)
+
+
+def test_spline_continuity():
+    """Position and velocity are continuous across knots (C^1)."""
+    key = jax.random.PRNGKey(2)
+    ts = [0.0, 1.0, 2.0, 3.5]
+    gs = jax.vmap(lambda k: SE2.random(k, 0.6))(jax.random.split(key, 4))
+    sp = fit_spline(SE2, ts, gs)
+    for tk in ts[1:-1]:
+        _, v_m, _ = spline_eval(SE2, sp, jnp.asarray(tk - 1e-7))
+        _, v_p, _ = spline_eval(SE2, sp, jnp.asarray(tk + 1e-7))
+        np.testing.assert_allclose(v_m, v_p, atol=1e-4)
+
+
+def test_spline_drives_pid():
+    """PID.set_xdes with a spline trajectory (reference test_pid.cpp:66-97)."""
+    key = jax.random.PRNGKey(3)
+    ts = [0.0, 1.0, 2.0, 3.0]
+    gs = jax.vmap(lambda k: SE2.random(k, 0.4))(jax.random.split(key, 4))
+    sp = fit_spline(SE2, ts, gs)
+
+    pid = PID(SE2)
+    pid.set_kp(2.0)
+    pid.set_kd(3.0)
+    pid.set_xdes(lambda t: spline_eval(SE2, sp, t))
+
+    x = SE2.random(jax.random.PRNGKey(4), 0.3)
+    v = jnp.array([0.1, -0.2, 0.05])
+    u = pid(1.0, x, v)
+
+    g_des, v_des, a_des = spline_eval(SE2, sp, jnp.asarray(1.0))
+    expected = a_des + 3.0 * (v_des - v) + 2.0 * SE2.rminus(g_des, x)
+    np.testing.assert_allclose(u, expected, atol=1e-9)
+
+
+def test_d2r_fog_matches_autodiff():
+    """Composition Hessian rule vs jax.hessian of the composition."""
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    W1 = jax.random.normal(k1, (3, 4))
+    W2 = jax.random.normal(k2, (2, 3))
+
+    g = lambda x: jnp.tanh(W1 @ x)
+    f = lambda y: jnp.stack([y @ y, jnp.sin(W2[0] @ y) * (W2[1] @ y)])
+
+    x0 = jnp.array([0.3, -0.2, 0.5, 0.1])
+    y0 = g(x0)
+
+    Jf = jax.jacfwd(f)(y0)
+    Hf = jax.hessian(f)(y0)
+    Jg = jax.jacfwd(g)(x0)
+    Hg = jax.hessian(g)(x0)
+
+    H = d2r_fog(Jf, Hf, Jg, Hg)
+    H_ref = jax.hessian(lambda x: f(g(x)))(x0)
+    np.testing.assert_allclose(H, H_ref, atol=1e-10)
