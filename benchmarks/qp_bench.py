@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""QP solver benchmarks in the style of the reference harness
+(benchmarks/bench.cpp): random QPs, densities {0.05, 0.3, 1.0}.
+
+Two sweeps:
+
+1. f64 PARITY sweep at eps = 1e-6 (the reference protocol): the JAX/XLA
+   solver vs the embedded C++ solver — identical algorithm, so statuses and
+   iteration counts must match and primals agree to solver accuracy.
+2. f32 THROUGHPUT sweep at control tolerances (eps = 1e-3): XLA iteration
+   path vs the fused Pallas kernel, batched on the accelerator.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smooth_feedback_tpu.qp import (
+    QPSolverParams,
+    random_qp,
+    solve_qp,
+    solve_qp_batch,
+)
+
+
+def parity_sweep():
+    from smooth_feedback_tpu.native import native_available, solve_qp_native
+
+    if not native_available():
+        print("(native solver unavailable; skipping parity sweep)")
+        return
+    print("== f64 parity sweep (eps 1e-6, JAX/XLA vs embedded C++) ==")
+    print(f"{'n':>4} {'density':>8} {'status=':>8} {'iters=':>7} {'prim diff':>10}")
+    prm = QPSolverParams(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=False)
+    for n in (4, 8, 15):
+        for density in (0.05, 0.3, 1.0):
+            match_s = match_i = 0
+            diff = 0.0
+            trials = 5
+            for t in range(trials):
+                qp = random_qp(
+                    jax.random.PRNGKey(100 * n + t), n=n, m=n, density=density,
+                    dtype=jnp.float64,
+                )
+                js = solve_qp(qp, prm)
+                ns = solve_qp_native(
+                    *[np.asarray(a) for a in qp],
+                    eps_abs=1e-6, eps_rel=1e-6, max_iter=20000,
+                )
+                match_s += int(js.status) == ns.status
+                match_i += int(js.iters) == ns.iters
+                if ns.status == 0:
+                    diff = max(diff, float(np.max(np.abs(np.asarray(js.primal) - ns.primal))))
+            print(f"{n:>4} {density:>8.2f} {match_s:>6}/{trials} {match_i:>5}/{trials} {diff:>10.1e}")
+
+
+def throughput_sweep(B=256, reps=5):
+    print("== f32 throughput sweep (eps 1e-3, batched on accelerator) ==")
+    print(f"{'n':>4} {'density':>8} {'xla/s':>12} {'pallas/s':>12} {'opt %':>6}")
+    prm_x = QPSolverParams(max_iter=4000)
+    prm_p = QPSolverParams(max_iter=4000, backend="pallas")
+    for n in (8, 16, 32, 64, 128):
+        for density in (0.3, 1.0):
+            keys = jax.random.split(jax.random.PRNGKey(n), B)
+            qps = jax.vmap(
+                lambda k: random_qp(k, n=n, m=n, density=density, dtype=jnp.float32)
+            )(keys)
+            rates = {}
+            sol = None
+            for name, prm in (("xla", prm_x), ("pallas", prm_p)):
+                sol = solve_qp_batch(qps, prm)
+                jax.block_until_ready(sol)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    sol = solve_qp_batch(qps, prm)
+                jax.block_until_ready(sol)
+                rates[name] = B * reps / (time.perf_counter() - t0)
+            st = np.asarray(sol.status)
+            print(
+                f"{n:>4} {density:>8.2f} {rates['xla']:>12,.0f} "
+                f"{rates['pallas']:>12,.0f} {np.mean(st == 0) * 100:>5.0f}%"
+            )
+
+
+if __name__ == "__main__":
+    parity_sweep()
+    throughput_sweep()

@@ -27,10 +27,11 @@ def main():
     step, ws0 = make_mpc_step(
         X, U, f, xdes, udes,
         weights=MPCWeights(Q=jnp.eye(2), Qtf=0.1 * jnp.eye(2), R=0.1 * jnp.eye(1)),
-        params=MPCParams(K=20, tf=5.0, qp=QPSolverParams(polish=False)),
+        params=MPCParams(K=20, tf=5.0, qp=QPSolverParams(polish=False, max_iter=300)),
         cr=lambda x, u: u,
         crl=jnp.array([-0.5]),
         cru=jnp.array([0.5]),
+        reuse_factors=True,  # LTI problem: factorize once
     )
 
     dt = 0.05

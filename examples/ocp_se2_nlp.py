@@ -9,6 +9,9 @@ Lie-group OCP, transcribe on an LGR mesh, solve with the native SQP solver
 
 import time
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # accuracy demo: match the f64 reference
 import jax.numpy as jnp
 import numpy as np
 

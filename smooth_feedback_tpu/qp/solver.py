@@ -192,35 +192,49 @@ def _polish(prm, P, q, A, l, u, c, sx, sy, x, y):
     us = sy * u
 
     As_act = As * D[:, :, None]
-    zero_mm = jnp.zeros((B, m, m), dt)
-    H = jnp.concatenate(
-        [
-            jnp.concatenate([Ps, jnp.swapaxes(As_act, 1, 2)], axis=2),
-            jnp.concatenate([As_act, zero_mm], axis=2),
-        ],
-        axis=1,
+    # Perturbed system Hp = [[Ps + delta I, Aa'], [Aa, -Dd]] with Dd > 0
+    # diagonal (delta on active rows, 1 on decoupled inactive rows).  Solved
+    # via the SPD Schur complement + Cholesky — TPU has no f64 LU, and the
+    # Schur form is faster anyway.
+    Dd = jnp.where(act, jnp.asarray(prm.delta, dt), jnp.asarray(1.0, dt))  # (B, m)
+    S = (
+        Ps
+        + prm.delta * jnp.eye(n, dtype=dt)[None]
+        + jnp.einsum("bmn,bm,bmk->bnk", As_act, 1.0 / Dd, As_act)
     )
-    diag_pert = jnp.concatenate(
-        [
-            jnp.full((B, n), prm.delta, dt),
-            jnp.where(act, -prm.delta, -1.0),
-        ],
-        axis=1,
-    )
-    Hp = H + jnp.eye(n + m, dtype=dt)[None] * diag_pert[:, None, :]
+    L = jnp.linalg.cholesky(S)
+    chol_ok = jnp.isfinite(L).all(axis=(1, 2))
+    L = jnp.where(chol_ok[:, None, None], L, jnp.eye(n, dtype=dt)[None])
 
-    h = jnp.concatenate([-qs, jnp.where(act, jnp.where(lower_act, ls, us), 0.0)], axis=1)
+    h_x = -qs  # (B, n)
+    h_nu = jnp.where(act, jnp.where(lower_act, ls, us), 0.0)  # (B, m)
 
-    lu, piv = jax.scipy.linalg.lu_factor(Hp)
-    t = jnp.zeros_like(h)
+    def hp_solve(r_x, r_nu):
+        rhs = r_x + jnp.einsum("bmn,bm->bn", As_act, r_nu / Dd)
+        tt = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
+        xs_ = jax.scipy.linalg.solve_triangular(L, tt, lower=True, trans=1)[..., 0]
+        nus = (jnp.einsum("bmn,bn->bm", As_act, xs_) - r_nu) / Dd
+        return xs_, nus
+
+    x_t = jnp.zeros((B, n), dt)
+    nu_t = jnp.zeros((B, m), dt)
     for _ in range(prm.polish_iter):
-        resid = h - jnp.einsum("bij,bj->bi", H, t)
-        t = t + jax.scipy.linalg.lu_solve((lu, piv), resid[..., None])[..., 0]
+        # residual of the UNperturbed system H = [[Ps, Aa'], [Aa, 0]]
+        r_x = h_x - (
+            jnp.einsum("bnk,bk->bn", Ps, x_t)
+            + jnp.einsum("bmn,bm->bn", As_act, nu_t)
+        )
+        r_nu = h_nu - jnp.einsum("bmn,bn->bm", As_act, x_t)
+        dx_, dnu_ = hp_solve(r_x, r_nu)
+        x_t = x_t + dx_
+        nu_t = nu_t + dnu_
 
-    ok = jnp.isfinite(t).all(axis=1)
-    x_pol = t[:, :n]
-    y_pol = jnp.where(act, t[:, n:], y)
-    return x_pol, y_pol, ok
+    ok = jnp.logical_and(
+        chol_ok,
+        jnp.logical_and(jnp.isfinite(x_t).all(axis=1), jnp.isfinite(nu_t).all(axis=1)),
+    )
+    y_pol = jnp.where(act, nu_t, y)
+    return x_t, y_pol, ok
 
 
 # -------------------------------------------------------------------- solver

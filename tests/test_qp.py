@@ -235,3 +235,31 @@ def test_iters_reported():
     sol = solve_qp(qp, PRM)
     assert int(sol.iters) > 0
     assert float(sol.primal_res) < PRM.eps_abs + 1e-12
+
+
+def test_pallas_backend_parity():
+    """The fused Pallas kernel (interpret mode on CPU) reproduces the XLA
+    iteration path exactly: statuses, iteration counts, and primals."""
+    keys = jax.random.split(jax.random.PRNGKey(33), 6)
+    qps = jax.vmap(lambda k: random_qp(k, n=7, m=9, dtype=jnp.float32))(keys)
+    prm_x = QPSolverParams(max_iter=2000)
+    prm_p = QPSolverParams(max_iter=2000, backend="pallas")
+    rx = solve_qp_batch(qps, prm_x)
+    rp = solve_qp_batch(qps, prm_p)
+    assert np.array_equal(np.asarray(rx.status), np.asarray(rp.status))
+    assert np.array_equal(np.asarray(rx.iters), np.asarray(rp.iters))
+    np.testing.assert_allclose(rx.primal, rp.primal, atol=1e-5)
+
+
+def test_factorize_reuse():
+    """qp_factorize + reuse gives the same solutions as the one-shot path."""
+    from smooth_feedback_tpu.qp import qp_factorize
+
+    keys = jax.random.split(jax.random.PRNGKey(44), 4)
+    qps = jax.vmap(lambda k: random_qp(k, n=6, m=8))(keys)
+    prm = QPSolverParams()
+    fac = qp_factorize(qps, prm)
+    r1 = solve_qp_batch(qps, prm)
+    r2 = solve_qp_batch(qps, prm, None, fac)
+    np.testing.assert_allclose(r1.primal, r2.primal, atol=1e-12)
+    assert np.array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
