@@ -176,7 +176,9 @@ int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
         err = std::fmax(err, std::fabs(syi[i] - 1));
         w.sy[i] /= std::sqrt(std::fmax(syi[i], 1e-8));
       }
-      if (sweep > 0 && err <= 0.1) break;
+      // do-while semantics: stop right after the sweep whose measured
+      // column norms were already within 10% of 1
+      if (err <= 0.1) break;
     }
   }
 

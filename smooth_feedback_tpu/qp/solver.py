@@ -193,28 +193,57 @@ def _polish(prm, P, q, A, l, u, c, sx, sy, x, y):
 
     As_act = As * D[:, :, None]
     # Perturbed system Hp = [[Ps + delta I, Aa'], [Aa, -Dd]] with Dd > 0
-    # diagonal (delta on active rows, 1 on decoupled inactive rows).  Solved
-    # via the SPD Schur complement + Cholesky — TPU has no f64 LU, and the
-    # Schur form is faster anyway.
+    # diagonal (delta on active rows, 1 on decoupled inactive rows).
+    #
+    # Factorization strategy per dtype:
+    #   f64: SPD Schur complement + Cholesky.  TPU implements no f64 LU, and
+    #        f64 absorbs the 1/delta ~ 1e6 conditioning of the Schur form.
+    #   f32: LU of the full (n+m) quasi-definite system (stable pivoting keeps
+    #        the +-delta blocks intact; the Schur form overflows f32).
     Dd = jnp.where(act, jnp.asarray(prm.delta, dt), jnp.asarray(1.0, dt))  # (B, m)
-    S = (
-        Ps
-        + prm.delta * jnp.eye(n, dtype=dt)[None]
-        + jnp.einsum("bmn,bm,bmk->bnk", As_act, 1.0 / Dd, As_act)
-    )
-    L = jnp.linalg.cholesky(S)
-    chol_ok = jnp.isfinite(L).all(axis=(1, 2))
-    L = jnp.where(chol_ok[:, None, None], L, jnp.eye(n, dtype=dt)[None])
-
     h_x = -qs  # (B, n)
     h_nu = jnp.where(act, jnp.where(lower_act, ls, us), 0.0)  # (B, m)
 
-    def hp_solve(r_x, r_nu):
-        rhs = r_x + jnp.einsum("bmn,bm->bn", As_act, r_nu / Dd)
-        tt = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
-        xs_ = jax.scipy.linalg.solve_triangular(L, tt, lower=True, trans=1)[..., 0]
-        nus = (jnp.einsum("bmn,bn->bm", As_act, xs_) - r_nu) / Dd
-        return xs_, nus
+    if dt == jnp.float64:
+        S = (
+            Ps
+            + prm.delta * jnp.eye(n, dtype=dt)[None]
+            + jnp.einsum("bmn,bm,bmk->bnk", As_act, 1.0 / Dd, As_act)
+        )
+        L = jnp.linalg.cholesky(S)
+        chol_ok = jnp.isfinite(L).all(axis=(1, 2))
+        L = jnp.where(chol_ok[:, None, None], L, jnp.eye(n, dtype=dt)[None])
+
+        def hp_solve(r_x, r_nu):
+            rhs = r_x + jnp.einsum("bmn,bm->bn", As_act, r_nu / Dd)
+            tt = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
+            xs_ = jax.scipy.linalg.solve_triangular(L, tt, lower=True, trans=1)[..., 0]
+            nus = (jnp.einsum("bmn,bn->bm", As_act, xs_) - r_nu) / Dd
+            return xs_, nus
+
+    else:
+        zero_mm = jnp.zeros((B, m, m), dt)
+        Hp = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [Ps + prm.delta * jnp.eye(n, dtype=dt)[None],
+                     jnp.swapaxes(As_act, 1, 2)],
+                    axis=2,
+                ),
+                jnp.concatenate(
+                    [As_act, zero_mm - Dd[:, :, None] * jnp.eye(m, dtype=dt)[None]],
+                    axis=2,
+                ),
+            ],
+            axis=1,
+        )
+        lu, piv = jax.scipy.linalg.lu_factor(Hp)
+        chol_ok = jnp.isfinite(lu).all(axis=(1, 2))
+
+        def hp_solve(r_x, r_nu):
+            r = jnp.concatenate([r_x, r_nu], axis=1)
+            t = jax.scipy.linalg.lu_solve((lu, piv), r[..., None])[..., 0]
+            return t[:, :n], t[:, n:]
 
     x_t = jnp.zeros((B, n), dt)
     nu_t = jnp.zeros((B, m), dt)
