@@ -14,6 +14,8 @@ Two sweeps:
 import time
 
 import jax
+
+jax.config.update("jax_enable_x64", True)  # the parity sweep is an f64 protocol
 import jax.numpy as jnp
 import numpy as np
 

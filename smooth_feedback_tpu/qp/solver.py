@@ -466,7 +466,22 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
             z_us = zn / sy
             dx_us = sx * (xn - x_old)
             dy_us = sy * (yn - y_old) / c[:, None]
-            return _stopping_check(prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us)
+            st, pr, dr = _stopping_check(
+                prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us
+            )
+            if prm.verbose:
+                jax.debug.print(
+                    "[qp] iter {i}: running {r}/{b}  pres med {pm:.3e} max {px:.3e}"
+                    "  dres med {dm:.3e} max {dx:.3e}",
+                    i=it,
+                    r=jnp.sum(st == _RUNNING),
+                    b=B,
+                    pm=jnp.median(pr),
+                    px=jnp.max(pr),
+                    dm=jnp.median(dr),
+                    dx=jnp.max(dr),
+                )
+            return st, pr, dr
 
         def skip(_):
             return jnp.full((B,), _RUNNING, jnp.int32), pres, dres

@@ -83,6 +83,10 @@ class QPSolverParams:
     # (fused TPU kernel keeping each problem's matrices in VMEM across the
     # whole iteration; float32 only, falls back to interpret mode off-TPU).
     backend: str = "xla"
+    # Print batch residual summaries at every stopping check (the analog of
+    # the reference's verbose iteration rows, qp_solver.hpp:409-419); uses
+    # jax.debug.print, XLA backend only.
+    verbose: bool = False
 
 
 def random_qp(

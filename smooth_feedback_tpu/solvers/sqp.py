@@ -44,6 +44,7 @@ class SQPParams:
     reg_max: float = 1e8
     ls_steps: int = 16  # backtracking grid size (alpha = 0.5**k)
     armijo: float = 1e-4
+    verbose: bool = False  # per-iteration jax.debug.print of kkt/alpha/reg
 
 
 def _violation(nlp: NLP, x, gval):
@@ -165,6 +166,17 @@ def solve_nlp_sqp(
         g_new = nlp.g(x_new)
         kkt = kkt_residual(x_new, lam_new, z_new, g_new, grad_f(x_new), jac_g(x_new))
         done = kkt <= params.tol
+        if params.verbose:
+            jax.debug.print(
+                "[sqp] it {i}: kkt {k:.3e} alpha {a:.3f} reg {r:.1e} "
+                "obj {o:.6e} qp_status {s}",
+                i=st.it,
+                k=kkt,
+                a=alpha,
+                r=st.reg,
+                o=nlp.f(x_new),
+                s=sol.status,
+            )
         return _State(
             it=st.it + 1,
             x=x_new,
