@@ -15,7 +15,7 @@ def test_spline_interpolates_knots():
     key = jax.random.PRNGKey(0)
     ts = [0.0, 1.0, 2.5, 4.0]
     gs = jax.vmap(lambda k: SE2.random(k, 0.5))(jax.random.split(key, 4))
-    sp = fit_spline(SE2, ts, gs)
+    sp = fit_spline(SE2, ts, gs, c2=False)
     for i, t in enumerate(ts):
         g = spline_pos(SE2, sp, jnp.asarray(t))
         np.testing.assert_allclose(g, gs[i], atol=1e-9)
@@ -26,7 +26,7 @@ def test_spline_velocity_consistency():
     key = jax.random.PRNGKey(1)
     ts = [0.0, 1.0, 2.0, 3.0]
     gs = jax.vmap(lambda k: SO3.random(k, 0.4))(jax.random.split(key, 4))
-    sp = fit_spline(SO3, ts, gs)
+    sp = fit_spline(SO3, ts, gs, c2=False)
 
     for t in [0.3, 1.5, 2.7]:
         g, v, a = spline_eval(SO3, sp, jnp.asarray(t))
@@ -42,7 +42,7 @@ def test_spline_continuity():
     key = jax.random.PRNGKey(2)
     ts = [0.0, 1.0, 2.0, 3.5]
     gs = jax.vmap(lambda k: SE2.random(k, 0.6))(jax.random.split(key, 4))
-    sp = fit_spline(SE2, ts, gs)
+    sp = fit_spline(SE2, ts, gs, c2=False)
     for tk in ts[1:-1]:
         _, v_m, _ = spline_eval(SE2, sp, jnp.asarray(tk - 1e-7))
         _, v_p, _ = spline_eval(SE2, sp, jnp.asarray(tk + 1e-7))
@@ -54,7 +54,7 @@ def test_spline_drives_pid():
     key = jax.random.PRNGKey(3)
     ts = [0.0, 1.0, 2.0, 3.0]
     gs = jax.vmap(lambda k: SE2.random(k, 0.4))(jax.random.split(key, 4))
-    sp = fit_spline(SE2, ts, gs)
+    sp = fit_spline(SE2, ts, gs, c2=False)
 
     pid = PID(SE2)
     pid.set_kp(2.0)
@@ -91,3 +91,27 @@ def test_d2r_fog_matches_autodiff():
     H = d2r_fog(Jf, Hf, Jg, Hg)
     H_ref = jax.hessian(lambda x: f(g(x)))(x0)
     np.testing.assert_allclose(H, H_ref, atol=1e-10)
+
+
+def test_spline_c2_acceleration_continuity():
+    """c2=True drives acceleration jumps at interior knots to ~0
+    (the reference's fit_spline_cubic gives a C^2 spline)."""
+    key = jax.random.PRNGKey(7)
+    ts = [0.0, 1.0, 2.0, 3.0, 4.5]
+    gs = jax.vmap(lambda k: SE2.random(k, 0.5))(jax.random.split(key, 5))
+    sp = fit_spline(SE2, ts, gs, c2=True)
+
+    # knots still interpolated
+    for i, t in enumerate(ts):
+        np.testing.assert_allclose(spline_pos(SE2, sp, jnp.asarray(t)), gs[i], atol=1e-9)
+
+    for tk in ts[1:-1]:
+        _, _, a_m = spline_eval(SE2, sp, jnp.asarray(tk - 1e-5))
+        _, _, a_p = spline_eval(SE2, sp, jnp.asarray(tk + 1e-5))
+        np.testing.assert_allclose(a_m, a_p, atol=1e-3)
+
+    # natural end conditions
+    _, _, a0 = spline_eval(SE2, sp, jnp.asarray(ts[0] + 1e-5))
+    _, _, aK = spline_eval(SE2, sp, jnp.asarray(ts[-1] - 1e-5))
+    np.testing.assert_allclose(a0, np.zeros(3), atol=1e-3)
+    np.testing.assert_allclose(aK, np.zeros(3), atol=1e-3)
