@@ -45,6 +45,11 @@ class SQPParams:
     ls_steps: int = 16  # backtracking grid size (alpha = 0.5**k)
     armijo: float = 1e-4
     verbose: bool = False  # per-iteration jax.debug.print of kkt/alpha/reg
+    # Hessian mode: "exact" (Lagrangian Hessian by autodiff; fastest
+    # convergence) or "bfgs" (damped BFGS; much lighter compile and
+    # per-iteration cost — the analog of the reference example's Ipopt
+    # hessian_approximation=limited-memory, ocp_se2_nlp.cpp:64).
+    hessian: str = "exact"
 
 
 def _violation(nlp: NLP, x, gval):
@@ -83,6 +88,12 @@ def solve_nlp_sqp(
         kkt: jax.Array
         done: jax.Array
         qp_ws: QPSolution
+        # cached evaluations at x (one derivative evaluation per iteration)
+        fval: jax.Array
+        gval: jax.Array
+        grad: jax.Array
+        J: jax.Array
+        Hb: jax.Array  # BFGS Hessian approximation (identity in exact mode)
 
     def kkt_residual(x, lam, z, gval, grad, J):
         stat = jnp.max(jnp.abs(grad + J.T @ lam + z))
@@ -99,12 +110,12 @@ def solve_nlp_sqp(
 
     def body(st: _State) -> _State:
         x, lam = st.x, st.lam
-        fval = nlp.f(x)
-        grad = grad_f(x)
-        gval = nlp.g(x)
-        J = jac_g(x)
-        H = lag_hess(x, lam)
-        H = 0.5 * (H + H.T) + st.reg * eyeN
+        fval, gval, grad, J = st.fval, st.gval, st.grad, st.J
+        if params.hessian == "exact":
+            H = lag_hess(x, lam)
+            H = 0.5 * (H + H.T) + st.reg * eyeN
+        else:
+            H = st.Hb + st.reg * eyeN
 
         # QP subproblem in the step d
         A = jnp.concatenate([J, eyeN], axis=0)
@@ -163,9 +174,38 @@ def solve_nlp_sqp(
             ),
         )
 
+        # single derivative evaluation at the new iterate (reused next round)
+        f_new = nlp.f(x_new)
         g_new = nlp.g(x_new)
-        kkt = kkt_residual(x_new, lam_new, z_new, g_new, grad_f(x_new), jac_g(x_new))
+        grad_new = grad_f(x_new)
+        J_new = jac_g(x_new)
+        kkt = kkt_residual(x_new, lam_new, z_new, g_new, grad_new, J_new)
         done = kkt <= params.tol
+
+        if params.hessian == "bfgs":
+            # damped (Powell) BFGS on the Lagrangian gradient
+            s_v = x_new - x
+            y_v = (grad_new + J_new.T @ lam_new) - (grad + J.T @ lam_new)
+            Hb = st.Hb
+            Hs = Hb @ s_v
+            sHs = s_v @ Hs
+            sy = s_v @ y_v
+            ok_upd = jnp.logical_and(alpha > 0, sHs > 1e-12)
+            theta = jnp.where(
+                sy >= 0.2 * sHs, 1.0, 0.8 * sHs / jnp.maximum(sHs - sy, 1e-12)
+            )
+            y_t = theta * y_v + (1 - theta) * Hs
+            sty = jnp.maximum(s_v @ y_t, 1e-12)
+            Hb_new = (
+                Hb
+                - jnp.outer(Hs, Hs) / jnp.maximum(sHs, 1e-12)
+                + jnp.outer(y_t, y_t) / sty
+            )
+            Hb_new = 0.5 * (Hb_new + Hb_new.T)
+            Hb = jnp.where(ok_upd, Hb_new, Hb)
+        else:
+            Hb = st.Hb
+
         if params.verbose:
             jax.debug.print(
                 "[sqp] it {i}: kkt {k:.3e} alpha {a:.3f} reg {r:.1e} "
@@ -174,7 +214,7 @@ def solve_nlp_sqp(
                 k=kkt,
                 a=alpha,
                 r=st.reg,
-                o=nlp.f(x_new),
+                o=f_new,
                 s=sol.status,
             )
         return _State(
@@ -186,6 +226,11 @@ def solve_nlp_sqp(
             kkt=kkt,
             done=done,
             qp_ws=sol,
+            fval=f_new,
+            gval=g_new,
+            grad=grad_new,
+            J=J_new,
+            Hb=Hb,
         )
 
     def cond(st: _State):
@@ -201,15 +246,21 @@ def solve_nlp_sqp(
         primal_res=inf,
         dual_res=inf,
     )
+    x0 = jnp.asarray(x0, dt)
     st0 = _State(
         it=jnp.int32(0),
-        x=jnp.asarray(x0, dt),
+        x=x0,
         lam=lam_init,
         z=jnp.zeros((n,), dt),
         reg=jnp.asarray(params.reg_init, dt),
         kkt=inf,
         done=jnp.asarray(False),
         qp_ws=ws0,
+        fval=nlp.f(x0),
+        gval=nlp.g(x0),
+        grad=grad_f(x0),
+        J=jac_g(x0),
+        Hb=eyeN,
     )
     st = lax.while_loop(cond, body, st0)
 
