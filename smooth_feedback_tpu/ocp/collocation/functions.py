@@ -47,6 +47,24 @@ def mesh_integrate(mesh: Mesh, fn: Callable, t0, tf, X, U):
     return (tf - t0) * jnp.einsum("i,i...->...", w, vals)
 
 
+def global_diffmat(mesh: Mesh) -> np.ndarray:
+    """Static dense (N, N+1) differentiation matrix of the whole mesh:
+    ``dX/dtau at the N collocation nodes = global_diffmat(mesh) @ X``.
+
+    Block-banded (one block per interval), built once on the host — the
+    collocation derivative becomes a single static matmul, which both the MXU
+    and the XLA compiler strongly prefer over per-interval scatters."""
+    N = mesh.N_colloc
+    Dfull = np.zeros((N, N + 1))
+    offsets = mesh.interval_offsets()
+    for ival in range(mesh.N_ivals):
+        K = mesh.N_colloc_ival(ival)
+        alpha, Dloc = mesh.interval_diffmat_unscaled(ival)  # Dloc: (K+1, K)
+        o = int(offsets[ival])
+        Dfull[o : o + K, o : o + K + 1] += alpha * Dloc.T
+    return Dfull
+
+
 def mesh_dyn(mesh: Mesh, f: Callable, t0, tf, X, U, weighted: bool = True):
     """Collocation dynamics defects at all N nodes
     (cf. mesh_dyn, mesh_function.hpp:452-664). Returns (N, nx):
@@ -55,22 +73,8 @@ def mesh_dyn(mesh: Mesh, f: Callable, t0, tf, X, U, weighted: bool = True):
 
     with ``w_i`` quadrature weights if ``weighted`` (reference behavior).
     """
-    N = mesh.N_colloc
-    nx = X.shape[-1]
     F = mesh_eval(mesh, f, t0, tf, X, U)  # (N, nx)
-
-    dX = jnp.zeros((N, nx), dtype=X.dtype)
-    offsets = mesh.interval_offsets()
-    for K, idxs in mesh.degree_groups().items():
-        D = jnp.asarray(diffmat_local(K))  # (K+1, K)
-        gidx = np.stack([offsets[i] + np.arange(K + 1) for i in idxs])  # (G, K+1)
-        alphas = np.array(
-            [mesh.interval_diffmat_unscaled(i)[0] for i in idxs]
-        )  # (G,)
-        Xiv = X[gidx]  # (G, K+1, nx)
-        dXg = jnp.einsum("jk,gjn->gkn", D, Xiv) * jnp.asarray(alphas)[:, None, None]
-        rows = np.stack([offsets[i] + np.arange(K) for i in idxs])  # (G, K)
-        dX = dX.at[rows.reshape(-1)].set(dXg.reshape(-1, nx))
+    dX = jnp.asarray(global_diffmat(mesh), dtype=X.dtype) @ X  # (N, nx)
 
     defect = (tf - t0) * F - dX
     if weighted:

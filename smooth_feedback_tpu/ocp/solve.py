@@ -94,3 +94,24 @@ def solve_ocp_flat(
         lam = None
 
     return ocpsol, mesh, SolveOCPInfo(meshes, iters, errors, status)
+
+
+def solve_ocp(
+    ocp: OCP,
+    xl_fun: Callable,
+    ul_fun: Callable,
+    mesh: Optional[Mesh] = None,
+    params: SolveOCPParams = SolveOCPParams(),
+):
+    """Solve a Lie-group OCP end to end: flatten around the nominal
+    trajectories, solve with mesh refinement, unflatten the solution.
+
+    The one-call analog of the reference's full pipeline
+    (examples/ocp_se2_nlp.cpp:31-91).  Returns ``(ocpsol, mesh, info)`` with
+    ``ocpsol.x(t)``/``ocpsol.u(t)`` on the original group.
+    """
+    from .flatten import flatten_ocp, unflatten_ocpsol
+
+    flat = flatten_ocp(ocp, xl_fun, ul_fun)
+    flatsol, mesh, info = solve_ocp_flat(flat, mesh, params)
+    return unflatten_ocpsol(flatsol, ocp, xl_fun, ul_fun), mesh, info
