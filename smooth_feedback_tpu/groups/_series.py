@@ -22,6 +22,18 @@ def _guard(x):
     return small, safe
 
 
+def _safe_denom(d, eps=1e-12):
+    """Clamp a denominator away from zero, preserving sign.
+
+    The inverse-Jacobian coefficients have true poles at |theta| = 2*pi*k;
+    clamping turns a NaN/inf there into a huge finite value, so optimizers
+    that wander toward the pole see a steep barrier instead of NaN poison.
+    """
+    mag = jnp.maximum(jnp.abs(d), eps)
+    sign = jnp.where(d >= 0, 1.0, -1.0)
+    return sign * mag
+
+
 def sinc(x):
     """sin(x) / x."""
     small, safe = _guard(x)
@@ -55,7 +67,9 @@ def jlinv2c(x):
     small, safe = _guard(x)
     x2 = x * x
     series = (1.0 + x2 / 60.0 * (1.0 + x2 / 42.0 * (1.0 + x2 / 40.0))) / 12.0
-    exact = 1.0 / (safe * safe) - (1.0 + jnp.cos(safe)) / (2.0 * safe * jnp.sin(safe))
+    exact = 1.0 / (safe * safe) - (1.0 + jnp.cos(safe)) / _safe_denom(
+        2.0 * safe * jnp.sin(safe)
+    )
     return jnp.where(small, series, exact)
 
 
@@ -107,7 +121,7 @@ def jlinv2c2(x2):
     """1/t^2 - (1 + cos(t)) / (2 t sin(t)) with t = sqrt(x2)."""
     small, t = _guard2(x2)
     series = (1.0 + x2 / 60.0 * (1.0 + x2 / 42.0 * (1.0 + x2 / 40.0))) / 12.0
-    exact = 1.0 / (t * t) - (1.0 + jnp.cos(t)) / (2.0 * t * jnp.sin(t))
+    exact = 1.0 / (t * t) - (1.0 + jnp.cos(t)) / _safe_denom(2.0 * t * jnp.sin(t))
     return jnp.where(small, series, exact)
 
 
@@ -119,5 +133,5 @@ def acos_over_sinc(x):
     small, safe = _guard(x)
     x2 = x * x
     series = 1.0 - x2 / 12.0 * (1.0 + x2 / 60.0 * (1.0 + x2 / 42.0))
-    exact = 0.5 * safe * jnp.sin(safe) / (1.0 - jnp.cos(safe))
+    exact = 0.5 * safe * jnp.sin(safe) / _safe_denom(1.0 - jnp.cos(safe))
     return jnp.where(small, series, exact)

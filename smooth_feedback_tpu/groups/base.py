@@ -39,8 +39,6 @@ Conventions follow the reference (right-trivialized / "body-frame"):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -56,7 +54,7 @@ class LieGroup:
     ndof: int
 
     # ------------------------------------------------------------------ core
-    def identity(self, dtype=jnp.float64) -> jax.Array:
+    def identity(self, dtype=None) -> jax.Array:
         raise NotImplementedError
 
     def exp(self, v: jax.Array) -> jax.Array:
@@ -170,7 +168,3 @@ def jacobian_wrt_group(group: LieGroup, f, g: jax.Array, *args, **kwargs):
     fn = lambda w: f(group.rplus(g, w), *args, **kwargs)
     return f(g, *args, **kwargs), jax.jacfwd(fn)(z)
 
-
-@functools.lru_cache(maxsize=None)
-def _cached_zero(ndof, dtype):
-    return jnp.zeros((ndof,), dtype=dtype)

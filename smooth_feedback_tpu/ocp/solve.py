@@ -55,7 +55,6 @@ def solve_ocp_flat(
         mesh = Mesh()
 
     z = nlp_initial_guess(flatocp, mesh, params.tf_guess)
-    lam = None
     meshes, iters, errors = [], [], []
     status = NLPSolutionStatus.IterationLimit
     ocpsol = None
@@ -91,7 +90,6 @@ def solve_ocp_flat(
             [float(e) for e in errs], 0.1 * params.target_err
         )
         z = ocpsol_to_nlpsol(flatocp, mesh, ocpsol)
-        lam = None
 
     return ocpsol, mesh, SolveOCPInfo(meshes, iters, errors, status)
 

@@ -37,6 +37,7 @@ _OPTIMAL = int(QPSolutionStatus.Optimal)
 _PRIMAL_INF = int(QPSolutionStatus.PrimalInfeasible)
 _DUAL_INF = int(QPSolutionStatus.DualInfeasible)
 _MAX_ITER = int(QPSolutionStatus.MaxIterations)
+_UNKNOWN = int(QPSolutionStatus.Unknown)
 
 
 def _round_up(x, m):
@@ -160,11 +161,19 @@ def _admm_kernel(
             jnp.logical_and(norm_inf(Pdx) <= tol, qdx <= tol), row_ok
         )
 
+        # divergence detection (semantics match the XLA path)
+        diverged = jnp.logical_not(
+            jnp.logical_and(jnp.all(jnp.isfinite(x)), jnp.all(jnp.isfinite(y)))
+        )
         st = jnp.where(
-            optimal,
-            _OPTIMAL,
+            diverged,
+            _UNKNOWN,
             jnp.where(
-                prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)
+                optimal,
+                _OPTIMAL,
+                jnp.where(
+                    prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)
+                ),
             ),
         ).astype(jnp.int32)
         return st, pres, dres

@@ -111,6 +111,14 @@ def _stopping_check(prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us):
     eps_pinf = jnp.asarray(prm.eps_primal_inf, dt)
     eps_dinf = jnp.asarray(prm.eps_dual_inf, dt)
 
+    # --- divergence: non-finite iterates can never satisfy any criterion and
+    # would otherwise run silently to the iteration cap (NaN compares False)
+    diverged = jnp.logical_not(
+        jnp.logical_and(
+            jnp.isfinite(x_us).all(axis=1), jnp.isfinite(y_us).all(axis=1)
+        )
+    )
+
     # --- optimality
     Ax = jnp.einsum("bmn,bn->bm", A, x_us)
     pres = _norm_inf(Ax - z_us)
@@ -160,9 +168,13 @@ def _stopping_check(prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us):
     )
 
     status = jnp.where(
-        optimal,
-        _OPTIMAL,
-        jnp.where(prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)),
+        diverged,
+        _UNKNOWN,
+        jnp.where(
+            optimal,
+            _OPTIMAL,
+            jnp.where(prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)),
+        ),
     ).astype(jnp.int32)
     return status, pres, dres
 

@@ -113,7 +113,13 @@ def solve_nlp_sqp(
         fval, gval, grad, J = st.fval, st.gval, st.grad, st.J
         if params.hessian == "exact":
             H = lag_hess(x, lam)
-            H = 0.5 * (H + H.T) + st.reg * eyeN
+            H = 0.5 * (H + H.T)
+            # convexify: the ADMM subproblem needs H PSD; shift by the exact
+            # most-negative eigenvalue (an indefinite H passed through
+            # Cholesky yields silently diverging subproblems)
+            lam_min = jnp.linalg.eigvalsh(H)[0]
+            shift = jnp.maximum(0.0, -lam_min) + st.reg
+            H = H + shift * eyeN
         else:
             H = st.Hb + st.reg * eyeN
 
@@ -128,11 +134,16 @@ def solve_nlp_sqp(
             lambda a: a[0], solve_qp_batch(qp_b, params.qp, ws_b)
         )
         d = sol.primal
-        lam_qp = sol.dual[:m]
-        z_qp = sol.dual[m:]
-        qp_ok = jnp.logical_or(
-            sol.status == QPSolutionStatus.Optimal,
-            sol.status == QPSolutionStatus.PolishFailed,
+        # sanitize: a diverged subproblem must not poison the multiplier
+        # blends below (0 * nan = nan even at alpha = 0)
+        lam_qp = jnp.where(jnp.isfinite(sol.dual[:m]), sol.dual[:m], 0.0)
+        z_qp = jnp.where(jnp.isfinite(sol.dual[m:]), sol.dual[m:], 0.0)
+        qp_ok = jnp.logical_and(
+            jnp.logical_or(
+                sol.status == QPSolutionStatus.Optimal,
+                sol.status == QPSolutionStatus.PolishFailed,
+            ),
+            jnp.isfinite(d).all(),
         )
         d = jnp.where(qp_ok, d, jnp.zeros_like(d))
 
@@ -148,6 +159,8 @@ def solve_nlp_sqp(
             return nlp.f(xa) + mu * _violation(nlp, xa, nlp.g(xa))
 
         phis = jax.vmap(merit)(alphas)
+        # non-finite merit (overflowing trial points) must never be selected
+        phis = jnp.where(jnp.isfinite(phis), phis, inf)
         armijo_ok = phis <= phi0 + params.armijo * alphas * dd
         any_ok = jnp.any(armijo_ok)
         first_ok = jnp.argmax(armijo_ok)  # first True (alphas descending)
