@@ -158,4 +158,6 @@ def test_warmstart_transfer_across_meshes():
     nlp2 = ocp_to_nlp(ocp, mesh2)
     sol2 = solve_nlp_sqp(nlp2, z2, SQPParams(max_iter=100, tol=1e-7))
     assert int(sol2.status) == NLPSolutionStatus.Optimal
-    assert int(sol2.iters) <= 15  # warmstart makes it fast
+    # warmstart makes it fast (the exact-Hessian convexification shift costs
+    # a few extra iterations when constrained directions carry curvature)
+    assert int(sol2.iters) <= 30
