@@ -193,7 +193,10 @@ def make_mpc_step(
         from ..qp.solver import qp_factorize
 
         qp0 = jax.jit(transcribe)(jnp.zeros((), dtype), X.identity(dtype))
-        factors1 = qp_factorize(jax.tree.map(lambda a: a[None], qp0), params.qp)
+        factors_b = qp_factorize(jax.tree.map(lambda a: a[None], qp0), params.qp)
+        # shared (batch-free) factors: every fleet member uses the same
+        # matrices, which unlocks the GEMM-based Pallas path
+        factors1 = jax.tree.map(lambda a: a[0], factors_b)
     else:
         factors1 = None
 
@@ -216,16 +219,8 @@ def make_mpc_step(
         check into per-element selects)."""
         ts = jnp.broadcast_to(jnp.asarray(ts, dtype), xs.shape[:1])
         qps = jax.vmap(transcribe)(ts, xs)
-        B = int(xs.shape[0])
-        factorsB = (
-            None
-            if factors1 is None
-            else jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (B,) + a.shape[1:]), factors1
-            )
-        )
         sols = solve_qp_batch(
-            qps, params.qp, warmstarts if params.warmstart else None, factorsB
+            qps, params.qp, warmstarts if params.warmstart else None, factors1
         )
         return jax.vmap(_finalize)(sols, warmstarts, ts)
 

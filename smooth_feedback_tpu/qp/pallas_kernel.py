@@ -223,6 +223,330 @@ def _admm_kernel(
     dres_out[0, 0, 0] = dres
 
 
+def _admm_kernel_shared(
+    prm,
+    G,
+    # refs (matrices shared by every problem in the batch)
+    Minv_ref,  # (n, n)
+    As_ref,  # (m, n)
+    Ps_ref,  # (n, n)
+    rho_ref,  # (1, m)
+    sx_ref,  # (1, n)
+    sy_ref,  # (1, m)
+    c_ref,  # (1, 1) SMEM
+    qs_ref,  # (G, n)
+    ls_ref,  # (G, m)
+    us_ref,  # (G, m)
+    l_ref,  # (G, m)
+    u_ref,  # (G, m)
+    x0_ref,  # (G, n)
+    z0_ref,  # (G, m)
+    y0_ref,  # (G, m)
+    status0_ref,  # (G, 1) int32
+    x_out,
+    z_out,
+    y_out,
+    stat_out,
+    iter_out,
+    pres_out,
+    dres_out,
+):
+    """Shared-matrix variant: G problems iterate together, so every matvec is
+    a (G, k) @ (k, j) GEMM on the MXU.  Semantics match the per-problem kernel
+    (same updates, same stopping checks); the one difference is iteration
+    accounting — the block runs until every member finishes, with per-problem
+    freeze masking exactly like the XLA path."""
+    f32 = jnp.float32
+    Minv = Minv_ref[...]
+    As = As_ref[...]
+    Ps = Ps_ref[...]
+    qs = qs_ref[...]
+    ls = ls_ref[...]
+    us = us_ref[...]
+    rho = rho_ref[...]  # (1, m), broadcasts over G
+    sx = sx_ref[...]
+    sy = sy_ref[...]
+    c = c_ref[0, 0]
+    lv = l_ref[...]
+    uv = u_ref[...]
+
+    inf = jnp.asarray(jnp.inf, f32)
+    alpha = jnp.asarray(prm.alpha, f32)
+    sigma = jnp.asarray(prm.sigma, f32)
+    eps_abs = jnp.asarray(prm.eps_abs, f32)
+    eps_rel = jnp.asarray(prm.eps_rel, f32)
+    eps_pinf = jnp.asarray(prm.eps_primal_inf, f32)
+    eps_dinf = jnp.asarray(prm.eps_dual_inf, f32)
+
+    mu_inf = (uv >= inf).astype(f32)
+    ml_inf = (lv <= -inf).astype(f32)
+    mu_fin = 1.0 - mu_inf
+    ml_fin = 1.0 - ml_inf
+    uv_fin = jnp.where(uv >= inf, 0.0, uv)
+    lv_fin = jnp.where(lv <= -inf, 0.0, lv)
+
+    def mm(V, M):  # (G, k) @ (k, j)
+        return jnp.dot(V, M, preferred_element_type=f32)
+
+    def rownorm(V):  # (G, k) -> (G, 1)
+        return jnp.max(jnp.abs(V), axis=1, keepdims=True)
+
+    def check(x, z, y, x_old, y_old):
+        inv_sy = 1.0 / sy
+        inv_csx = 1.0 / (c * sx)
+
+        Ax = mm(x, As.T) * inv_sy
+        z_us = z * inv_sy
+        pres = rownorm(Ax - z_us)
+        prim_ok = pres <= eps_abs + eps_rel * jnp.maximum(rownorm(Ax), rownorm(z_us))
+
+        Px = mm(x, Ps.T) * inv_csx
+        Aty = mm(y, As) * inv_csx
+        qv = qs * inv_csx
+        dres = rownorm(Px + qv + Aty)
+        dscale = jnp.maximum(rownorm(Px), jnp.maximum(rownorm(qv), rownorm(Aty)))
+        dual_ok = dres <= eps_abs + eps_rel * dscale
+        optimal = jnp.logical_and(prim_ok, dual_ok)
+
+        dy_us = sy * (y - y_old) / c
+        E = rownorm(dy_us)
+        Atdy = mm(y - y_old, As) * inv_csx
+        viol_f = jnp.max(
+            mu_inf * (dy_us > eps_pinf * E).astype(f32)
+            + ml_inf * (dy_us < -eps_pinf * E).astype(f32),
+            axis=1,
+            keepdims=True,
+        )
+        sum_term = jnp.sum(
+            uv_fin * jnp.maximum(0.0, dy_us) + lv_fin * jnp.minimum(0.0, dy_us),
+            axis=1,
+            keepdims=True,
+        )
+        prim_inf = jnp.logical_and(
+            viol_f < 0.5,
+            jnp.maximum(rownorm(Atdy), sum_term) < eps_pinf * E,
+        )
+
+        dx_us = sx * (x - x_old)
+        dxn = rownorm(dx_us)
+        Pdx = mm(x - x_old, Ps.T) * inv_csx
+        Adx = mm(x - x_old, As.T) * (1.0 / sy)
+        tol = eps_dinf * dxn
+        row_f = (
+            mu_inf * (Adx >= -tol).astype(f32)
+            + ml_inf * mu_fin * (Adx <= tol).astype(f32)
+            + ml_fin * mu_fin * (jnp.abs(Adx) < tol).astype(f32)
+        )
+        row_ok = jnp.min(row_f, axis=1, keepdims=True) > 0.5
+        qdx = jnp.sum(qs * inv_csx * dx_us, axis=1, keepdims=True)
+        dual_inf = jnp.logical_and(
+            jnp.logical_and(rownorm(Pdx) <= tol, qdx <= tol), row_ok
+        )
+
+        diverged = jnp.logical_not(
+            jnp.logical_and(
+                jnp.all(jnp.isfinite(x), axis=1, keepdims=True),
+                jnp.all(jnp.isfinite(y), axis=1, keepdims=True),
+            )
+        )
+        st = jnp.where(
+            diverged,
+            _UNKNOWN,
+            jnp.where(
+                optimal,
+                _OPTIMAL,
+                jnp.where(
+                    prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)
+                ),
+            ),
+        ).astype(jnp.int32)
+        return st, pres, dres
+
+    def cond(carry):
+        it, x, z, y, status, iters, pres, dres = carry
+        return jnp.logical_and(it < prm.max_iter, jnp.any(status == _RUNNING))
+
+    def body(carry):
+        it, x, z, y, status, iters, pres, dres = carry
+        x_old = x
+        y_old = y
+
+        rhs = sigma * x - qs + mm(rho * z - y, As)
+        xt = mm(rhs, Minv)
+        zt = mm(xt, As.T)
+
+        xn = alpha * xt + (1 - alpha) * x
+        zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
+        yn = y + rho * (alpha * zt + (1 - alpha) * z - zn)
+
+        do_check = (it % prm.stop_check_iter) == 1
+        new_status, pres_n, dres_n = lax.cond(
+            do_check,
+            lambda: check(xn, zn, yn, x_old, y_old),
+            lambda: (jnp.full((G, 1), _RUNNING, jnp.int32), pres, dres),
+        )
+
+        run = status == _RUNNING  # (G, 1)
+        x = jnp.where(run, xn, x)
+        z = jnp.where(run, zn, z)
+        y = jnp.where(run, yn, y)
+        status = jnp.where(run, new_status, status)
+        iters = jnp.where(run, it + 1, iters)
+        pres = jnp.where(run, pres_n, pres)
+        dres = jnp.where(run, dres_n, dres)
+        return it + 1, x, z, y, status, iters, pres, dres
+
+    init = (
+        jnp.int32(0),
+        x0_ref[...],
+        z0_ref[...],
+        y0_ref[...],
+        status0_ref[...],
+        jnp.zeros((G, 1), jnp.int32),
+        jnp.full((G, 1), inf),
+        jnp.full((G, 1), inf),
+    )
+    it, x, z, y, status, iters, pres, dres = lax.while_loop(cond, body, init)
+
+    x_out[...] = x
+    z_out[...] = z
+    y_out[...] = y
+    stat_out[...] = jnp.where(status == _RUNNING, _MAX_ITER, status)
+    iter_out[...] = iters
+    pres_out[...] = pres
+    dres_out[...] = dres
+
+
+def admm_iterate_pallas_shared(
+    prm: QPSolverParams,
+    Minv,  # (n, n) shared
+    As,  # (m, n) shared
+    Ps,  # (n, n) shared
+    qs,  # (B, n)
+    ls,
+    us,
+    rho,  # (m,) shared
+    sx,  # (n,) shared
+    sy,  # (m,) shared
+    c,  # scalar shared
+    l,
+    u,
+    x0,
+    z0,
+    y0,
+    status0,
+    interpret: bool = False,
+    block: int = 128,
+):
+    """Shared-matrix fused ADMM: every problem in the batch has the same
+    scaled matrices (the reuse-factors MPC fleet case); iterations are real
+    (G, n) x (n, m) GEMMs on the MXU."""
+    B, n = qs.shape
+    m = ls.shape[1]
+    n_pad = _round_up(max(n, 128), 128)
+    m_pad = _round_up(max(m, 128), 128)
+    G = min(block, B)
+    B_pad = _round_up(B, G)
+
+    f32 = jnp.float32
+
+    def padm(a, r, ccols):
+        return jnp.pad(a.astype(f32), ((0, r - a.shape[0]), (0, ccols - a.shape[1])))
+
+    def padv1(a, r, value=0.0):
+        return jnp.pad(a.astype(f32), ((0, r - a.shape[0]),), constant_values=value)[None, :]
+
+    def padb(a, ccols, value=0.0):
+        return jnp.pad(
+            a.astype(f32),
+            ((0, B_pad - a.shape[0]), (0, ccols - a.shape[1])),
+            constant_values=value,
+        )
+
+    args = (
+        padm(Minv, n_pad, n_pad),
+        padm(As, m_pad, n_pad),
+        padm(Ps, n_pad, n_pad),
+        padv1(rho, m_pad, value=1.0),
+        padv1(sx, n_pad, value=1.0),
+        padv1(sy, m_pad, value=1.0),
+        jnp.asarray(c, f32)[None, None],
+        padb(qs, n_pad),
+        padb(ls, m_pad),
+        padb(us, m_pad),
+        padb(l, m_pad),
+        padb(u, m_pad),
+        padb(x0, n_pad),
+        padb(z0, m_pad),
+        padb(y0, m_pad),
+        jnp.pad(
+            status0.astype(jnp.int32)[:, None],
+            ((0, B_pad - B), (0, 0)),
+            constant_values=_OPTIMAL,  # padded rows: already done
+        ),
+    )
+
+    shared2 = lambda r, cc: pl.BlockSpec((r, cc), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    perblk = lambda cc: pl.BlockSpec((G, cc), lambda b: (b, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        shared2(n_pad, n_pad),  # Minv
+        shared2(m_pad, n_pad),  # As
+        shared2(n_pad, n_pad),  # Ps
+        shared2(1, m_pad),  # rho
+        shared2(1, n_pad),  # sx
+        shared2(1, m_pad),  # sy
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),  # c
+        perblk(n_pad),  # qs
+        perblk(m_pad),  # ls
+        perblk(m_pad),  # us
+        perblk(m_pad),  # l
+        perblk(m_pad),  # u
+        perblk(n_pad),  # x0
+        perblk(m_pad),  # z0
+        perblk(m_pad),  # y0
+        pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),  # status0
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((B_pad, n_pad), f32),
+        jax.ShapeDtypeStruct((B_pad, m_pad), f32),
+        jax.ShapeDtypeStruct((B_pad, m_pad), f32),
+        jax.ShapeDtypeStruct((B_pad, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B_pad, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B_pad, 1), f32),
+        jax.ShapeDtypeStruct((B_pad, 1), f32),
+    )
+    out_specs = (
+        perblk(n_pad),
+        perblk(m_pad),
+        perblk(m_pad),
+        pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    )
+
+    kernel = functools.partial(_admm_kernel_shared, prm, G)
+    x, z, y, status, iters, pres, dres = pl.pallas_call(
+        kernel,
+        grid=(B_pad // G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+    return (
+        x[:B, :n],
+        z[:B, :m],
+        y[:B, :m],
+        status[:B, 0],
+        iters[:B, 0],
+        pres[:B, 0],
+        dres[:B, 0],
+    )
+
+
 def admm_iterate_pallas(
     prm: QPSolverParams,
     Minv,

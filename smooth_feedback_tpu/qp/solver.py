@@ -379,9 +379,20 @@ def solve_qp_batch(
 def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
     P, q, A, l, u = qp
     dt = P.dtype
-    B, m, n = A.shape
+    # normalize broadcastable leading dims (e.g. a shared bound row (1, m))
+    B = max(a.shape[0] for a in qp)
+    m, n = A.shape[-2:]
+    P = jnp.broadcast_to(P, (B, n, n))
+    q = jnp.broadcast_to(q, (B, n))
+    A = jnp.broadcast_to(A, (B, m, n))
+    l = jnp.broadcast_to(l, (B, m))
+    u = jnp.broadcast_to(u, (B, m))
     inf = jnp.asarray(jnp.inf, dt)
 
+    # Factors may be SHARED across the batch (no leading batch axis on
+    # Minv, e.g. from qp_factorize on one template problem): the LTI-MPC
+    # fleet case, where the Pallas path can use real GEMM iterations.
+    shared = factors is not None and factors.Minv.ndim == 2
     if factors is None:
         factors = _factorize(P, q, A, l, u, prm)
     c, sx, sy, rho, Ps, As, Mred, Minv, fact_ok = factors
@@ -396,10 +407,64 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         jnp.where(jnp.logical_not(fact_ok), _UNKNOWN, _RUNNING),
     ).astype(jnp.int32)
 
-    # ---- scaled vectors
-    qs = c[:, None] * sx * q
-    ls = sy * l
-    us = sy * u
+    # ---- scaled vectors (broadcast over the batch when factors are shared)
+    if shared:
+        qs = c * sx[None, :] * q
+        ls = sy[None, :] * l
+        us = sy[None, :] * u
+    else:
+        qs = c[:, None] * sx * q
+        ls = sy * l
+        us = sy * u
+
+    # batched copies of the scalings for warmstart scaling / finalize
+    if shared:
+        cB = jnp.broadcast_to(c, (B,))
+        sxB = jnp.broadcast_to(sx[None, :], (B, n))
+        syB = jnp.broadcast_to(sy[None, :], (B, m))
+    else:
+        cB, sxB, syB = c, sx, sy
+
+    # ---- initial iterates (warmstart must be scaled, qp_solver.hpp:436-445)
+    if warmstart is not None:
+        x0 = warmstart.primal / sxB
+        y0 = cB[:, None] * warmstart.dual / syB
+        z0 = syB * jnp.einsum("bmn,bn->bm", A, warmstart.primal)
+    else:
+        x0 = jnp.zeros((B, n), dt)
+        y0 = jnp.zeros((B, m), dt)
+        z0 = jnp.zeros((B, m), dt)
+
+    if prm.backend == "pallas":
+        from .pallas_kernel import admm_iterate_pallas, admm_iterate_pallas_shared
+
+        interp = jax.default_backend() != "tpu"
+        if shared:
+            x, z, y, status, iters, pres, dres = admm_iterate_pallas_shared(
+                prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
+                l, u, x0, z0, y0, status0, interpret=interp,
+            )
+        else:
+            x, z, y, status, iters, pres, dres = admm_iterate_pallas(
+                prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
+                l, u, x0, z0, y0, status0, interpret=interp,
+            )
+        x = x.astype(dt)
+        z = z.astype(dt)
+        y = y.astype(dt)
+        pres = pres.astype(dt)
+        dres = dres.astype(dt)
+        return _finalize_solution(
+            prm, P, q, A, l, u, cB, sxB, syB, x, y, status, iters, pres, dres
+        )
+
+    # XLA iteration path: broadcast shared matrices to the batch
+    if shared:
+        Minv = jnp.broadcast_to(Minv, (B, n, n))
+        Mred = jnp.broadcast_to(Mred, (B, n, n))
+        As = jnp.broadcast_to(As, (B, m, n))
+        rho = jnp.broadcast_to(rho[None, :], (B, m))
+        c, sx, sy = cB, sxB, syB
 
     def Msolve0(r):
         return jnp.einsum("bnm,bm->bn", Minv, r)
@@ -412,47 +477,6 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
             resid = r - jnp.einsum("bnk,bk->bn", Mred, t)
             t = t + Msolve0(resid)
         return t
-
-    # ---- initial iterates (warmstart must be scaled, qp_solver.hpp:436-445)
-    if warmstart is not None:
-        x0 = warmstart.primal / sx
-        y0 = c[:, None] * warmstart.dual / sy
-        z0 = sy * jnp.einsum("bmn,bn->bm", A, warmstart.primal)
-    else:
-        x0 = jnp.zeros((B, n), dt)
-        y0 = jnp.zeros((B, m), dt)
-        z0 = jnp.zeros((B, m), dt)
-
-    if prm.backend == "pallas":
-        from .pallas_kernel import admm_iterate_pallas
-
-        interp = jax.default_backend() != "tpu"
-        x, z, y, status, iters, pres, dres = admm_iterate_pallas(
-            prm,
-            factors.Minv,
-            factors.As,
-            Ps,
-            qs,
-            ls,
-            us,
-            rho,
-            sx,
-            sy,
-            c,
-            l,
-            u,
-            x0,
-            z0,
-            y0,
-            status0,
-            interpret=interp,
-        )
-        x = x.astype(dt)
-        z = z.astype(dt)
-        y = y.astype(dt)
-        pres = pres.astype(dt)
-        dres = dres.astype(dt)
-        return _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres)
 
     alpha = jnp.asarray(prm.alpha, dt)
 
