@@ -46,7 +46,11 @@ def main():
             K=50,
             tf=5.0,
             qp=QPSolverParams(
-                scaling=True, polish=False, max_iter=150, backend="pallas"
+                scaling=True,
+                polish=False,
+                max_iter=100,
+                stop_check_iter=10,  # checks are cheap GEMMs in the shared kernel
+                backend="pallas",
             ),
         ),
         cr=lambda x, u: u,
@@ -61,7 +65,7 @@ def main():
     xs = 0.5 * jax.random.normal(key, (B, 2), dtype)
     wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
 
-    fleet = jax.jit(step.fleet)
+    fleet = jax.jit(step.fleet_shared_t)  # LTI fleet on a common clock
     res = fleet(wss, 0.0, xs)  # compile + cold solve
     jax.block_until_ready(res)
     res = fleet(res.warmstart, 0.0, xs)  # enter warmstarted regime

@@ -224,7 +224,46 @@ def make_mpc_step(
         )
         return jax.vmap(_finalize)(sols, warmstarts, ts)
 
+    ce_B = lay["cecon_B"]
+
+    def fleet_step_shared_t(warmstarts: QPSolution, t, xs) -> MPCStepResult:
+        """Fleet step for a COMMON clock ``t`` (scalar): the whole fleet
+        shares one transcription — only the initial-condition equality rows
+        differ per controller (their bounds are ``-(x (-) xdes(t))``), so the
+        per-problem work is one ``rminus``.  Combined with ``reuse_factors``
+        and the pallas backend, the QP batch additionally solves with
+        shared-matrix GEMM iterations.
+
+        Valid under the same conditions as ``reuse_factors`` (step-invariant
+        P/A), plus a fleet-wide scalar ``t``."""
+        t = jnp.asarray(t, dtype)
+        B = int(xs.shape[0])
+        qp1 = transcribe(t, X.identity(dtype))  # ONE transcription
+
+        # initial-condition rows: l = u = cel - ce(xl0) = -rminus(xdes(t), x)
+        ce_bounds = -jax.vmap(lambda x: X.rminus(xdes(t), x))(xs)  # (B, nx)
+
+        l_b = jnp.broadcast_to(qp1.l[None, :], (B,) + qp1.l.shape)
+        u_b = jnp.broadcast_to(qp1.u[None, :], (B,) + qp1.u.shape)
+        rows = ce_B + jnp.arange(nx)
+        l_b = l_b.at[:, rows].set(ce_bounds)
+        u_b = u_b.at[:, rows].set(ce_bounds)
+
+        qps = QuadraticProgram(
+            P=qp1.P[None],  # (1, n, n): solver broadcasts
+            q=jnp.broadcast_to(qp1.q[None, :], (B,) + qp1.q.shape),
+            A=qp1.A[None],
+            l=l_b,
+            u=u_b,
+        )
+        sols = solve_qp_batch(
+            qps, params.qp, warmstarts if params.warmstart else None, factors1
+        )
+        ts = jnp.broadcast_to(t, (B,))
+        return jax.vmap(_finalize)(sols, warmstarts, ts)
+
     step.fleet = fleet_step
+    step.fleet_shared_t = fleet_step_shared_t
     step.transcribe = transcribe
 
     # zero warmstart with the right shapes
