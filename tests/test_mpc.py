@@ -152,3 +152,27 @@ def test_vmap_fleet():
     res = jax.jit(jax.vmap(lambda w, x: step(w, 0.0, x)))(wss, xs)
     assert res.u.shape == (B, 1)
     assert np.all(np.asarray(res.status) == QPSolutionStatus.Optimal)
+
+
+def test_fleet_shared_t_matches_fleet():
+    """The LTI fast path (one shared transcription + per-problem IC rows)
+    matches the general vmapped-transcription fleet path."""
+    X, U = Rn(2), Rn(1)
+    f = lambda x, u: jnp.stack([x[1], u[0]])
+    xdes = lambda t: jnp.stack([-0.5 * jnp.sin(0.3 * t), -0.15 * jnp.cos(0.3 * t)])
+    udes = lambda t: jnp.zeros(1)
+    step, ws0 = make_mpc_step(
+        X, U, f, xdes, udes,
+        weights=MPCWeights(Q=jnp.eye(2), Qtf=0.1 * jnp.eye(2), R=0.1 * jnp.eye(1)),
+        params=MPCParams(K=12, tf=5.0, qp=QPSolverParams(polish=False, max_iter=500)),
+        cr=lambda x, u: u, crl=jnp.array([-0.5]), cru=jnp.array([0.5]),
+        reuse_factors=True,
+    )
+    B = 6
+    xs = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (B, 2))
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
+    r1 = jax.jit(step.fleet)(wss, 0.7, xs)
+    r2 = jax.jit(step.fleet_shared_t)(wss, 0.7, xs)
+    assert np.array_equal(np.asarray(r1.status), np.asarray(r2.status))
+    np.testing.assert_allclose(r1.u, r2.u, atol=1e-6)
+    np.testing.assert_allclose(r1.x_traj, r2.x_traj, atol=1e-6)
