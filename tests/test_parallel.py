@@ -53,3 +53,34 @@ def test_graft_entry_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(len(jax.devices()))
+
+
+def test_graft_entry_multichip_bare_process():
+    """Replicates the driver's environment: a fresh process with NO conftest
+    device setup (no XLA_FLAGS, no JAX_PLATFORMS). dryrun_multichip must
+    self-provision the 8-device virtual CPU mesh (round-1 failure mode)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")
+    }
+    # dryrun_multichip never initializes a backend in the outer process (it
+    # only reads jax.config), so the single-tenant TPU stays untouched.
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, f"stdout={res.stdout}\nstderr={res.stderr}"
+    assert "dryrun_multichip OK: 8 devices" in res.stdout
