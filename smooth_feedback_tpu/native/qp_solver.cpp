@@ -253,7 +253,7 @@ int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
       w.z[i] = znew;
     }
 
-    if (iter % o.stop_check_iter == 1) {
+    if (iter % o.stop_check_iter == 1 % o.stop_check_iter) {
       for (int j = 0; j < n; ++j) {
         x_us[j] = w.sx[j] * w.x[j];
         dx_us[j] = w.sx[j] * (w.x[j] - w.x_old[j]);

@@ -195,7 +195,7 @@ def _admm_kernel(
         zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
         yn = y + rho * (alpha * zt + (1 - alpha) * z - zn)
 
-        do_check = (it % prm.stop_check_iter) == 1
+        do_check = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
         status, pres, dres = lax.cond(
             do_check,
             lambda: check(xn, zn, yn, x_old, y_old),
@@ -379,7 +379,7 @@ def _admm_kernel_shared(
         zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
         yn = y + rho * (alpha * zt + (1 - alpha) * z - zn)
 
-        do_check = (it % prm.stop_check_iter) == 1
+        do_check = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
         new_status, pres_n, dres_n = lax.cond(
             do_check,
             lambda: check(xn, zn, yn, x_old, y_old),

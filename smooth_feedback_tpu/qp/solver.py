@@ -522,7 +522,9 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         def skip(_):
             return jnp.full((B,), _RUNNING, jnp.int32), pres, dres
 
-        check_now = (it % prm.stop_check_iter) == 1
+        # == (1 % stop_check_iter) so stop_check_iter == 1 means "every
+        # iteration" instead of silently never checking (it % 1 is always 0)
+        check_now = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
         new_status, pres_n, dres_n = lax.cond(check_now, do_check, skip, None)
 
         run = status == _RUNNING

@@ -99,10 +99,10 @@ def random_qp(
     """Random feasible-ish QP in the style of the reference benchmark
     (benchmarks/bench.cpp random problem generator): P = M M' (PSD), random A,
     bounds straddling A x0 for a random x0."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     M = jax.random.normal(k1, (n, n), dtype=dtype)
     if density < 1.0:
-        mask = jax.random.bernoulli(k5, density, (n, n))
+        mask = jax.random.bernoulli(k6, density, (n, n))
         M = M * mask
     P = M @ M.T
     q = jax.random.normal(k2, (n,), dtype=dtype)

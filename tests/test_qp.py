@@ -251,6 +251,103 @@ def test_pallas_backend_parity():
     np.testing.assert_allclose(rx.primal, rp.primal, atol=1e-5)
 
 
+def test_pallas_shared_backend_parity():
+    """The shared-matrix Pallas kernel (the flagship reuse_factors +
+    fleet_shared_t path in bench.py) reproduces the XLA shared-factors path:
+    statuses, iteration counts, and primals (interpret mode on CPU)."""
+    from smooth_feedback_tpu.qp import qp_factorize
+
+    n, m, B = 7, 9, 5
+    qp1 = random_qp(jax.random.PRNGKey(7), n=n, m=m, dtype=jnp.float32)
+    shift = 0.05 * jax.random.normal(jax.random.PRNGKey(8), (B, m), jnp.float32)
+    qps = QuadraticProgram(
+        P=qp1.P[None],
+        q=jnp.broadcast_to(qp1.q[None], (B, n)),
+        A=qp1.A[None],
+        l=qp1.l[None] + shift,
+        u=qp1.u[None] + shift,
+    )
+    prm_x = QPSolverParams(max_iter=2000, polish=False)
+    prm_p = QPSolverParams(max_iter=2000, polish=False, backend="pallas")
+    fac_b = qp_factorize(jax.tree.map(lambda a: a[None], qp1), prm_x)
+    fac1 = jax.tree.map(lambda a: a[0], fac_b)  # batch-free => shared path
+
+    rx = solve_qp_batch(qps, prm_x, None, fac1)
+    rp = solve_qp_batch(qps, prm_p, None, fac1)
+    assert np.all(np.asarray(rx.status) == QPSolutionStatus.Optimal)
+    assert np.array_equal(np.asarray(rx.status), np.asarray(rp.status))
+    assert np.array_equal(np.asarray(rx.iters), np.asarray(rp.iters))
+    np.testing.assert_allclose(rx.primal, rp.primal, atol=1e-5)
+
+
+def _kkt_residuals(qps, sol):
+    """Stationarity, primal feasibility, complementary slackness (unscaled)."""
+    P, q, A, l, u = (np.asarray(a) for a in qps)
+    x, y = np.asarray(sol.primal), np.asarray(sol.dual)
+    Ax = np.einsum("bmn,bn->bm", A, x)
+    stat = np.abs(
+        np.einsum("bnk,bk->bn", P, x) + q + np.einsum("bmn,bm->bn", A, y)
+    ).max(axis=1)
+    pfeas = np.maximum(np.maximum(l - Ax, 0), np.maximum(Ax - u, 0)).max(axis=1)
+    comp = (np.maximum(y, 0) * (u - Ax) + np.maximum(-y, 0) * (Ax - l)).max(axis=1)
+    return stat, pfeas, comp, Ax
+
+
+def test_kkt_conditions_eps6():
+    """Oracle-free 1e-6 verification: for random f64 QPs solved at eps=1e-6,
+    the KKT conditions hold directly — no reference to any solver twin.
+    Checks the OSQP termination criterion with its own scaling (Stellato et
+    al. §3.4): residuals <= eps_abs + eps_rel * (problem scale)."""
+    eps = 1e-6
+    prm = QPSolverParams(eps_abs=eps, eps_rel=eps, max_iter=20000, polish=False)
+    keys = jax.random.split(jax.random.PRNGKey(11), 16)
+    qps = jax.vmap(lambda k: random_qp(k, n=8, m=10))(keys)
+    sol = solve_qp_batch(qps, prm)
+    assert np.all(np.asarray(sol.status) == QPSolutionStatus.Optimal)
+
+    stat, pfeas, comp, Ax = _kkt_residuals(qps, sol)
+    P, q, A, l, u = (np.asarray(a) for a in qps)
+    x, y = np.asarray(sol.primal), np.asarray(sol.dual)
+    dscale = np.maximum(
+        np.abs(np.einsum("bnk,bk->bn", P, x)).max(axis=1),
+        np.maximum(
+            np.abs(q).max(axis=1), np.abs(np.einsum("bmn,bm->bn", A, y)).max(axis=1)
+        ),
+    )
+    pscale = np.abs(Ax).max(axis=1)
+    assert np.all(stat <= eps + eps * dscale)
+    assert np.all(pfeas <= eps + eps * pscale)
+    # complementarity follows from the ADMM fixed point: y is (up to the
+    # primal residual) the projection residual, so each term is O(pres*|y|)
+    assert np.all(comp <= (eps + eps * pscale) * (1 + np.abs(y).max(axis=1)))
+
+
+def test_polish_accuracy():
+    """Polishing drives the KKT residuals of Optimal solves to machine
+    precision (reference polish role, qp_solver.hpp:93-204)."""
+    prm = QPSolverParams(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=True)
+    keys = jax.random.split(jax.random.PRNGKey(11), 16)
+    qps = jax.vmap(lambda k: random_qp(k, n=8, m=10))(keys)
+    sol = solve_qp_batch(qps, prm)
+    assert np.all(np.asarray(sol.status) == QPSolutionStatus.Optimal)
+    stat, pfeas, comp, _ = _kkt_residuals(qps, sol)
+    assert stat.max() <= 1e-12
+    assert pfeas.max() <= 1e-12
+    assert comp.max() <= 1e-12
+
+
+def test_stop_check_every_iteration():
+    """stop_check_iter=1 must check every iteration, not disable checks."""
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    sol = solve_qp(qp, QPSolverParams(stop_check_iter=1))
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    # with per-iteration checks the solve stops as soon as tolerances hit,
+    # never at the iteration cap
+    assert int(sol.iters) < QPSolverParams().max_iter
+    sol25 = solve_qp(qp, QPSolverParams(stop_check_iter=25))
+    assert int(sol.iters) <= int(sol25.iters)
+
+
 def test_factorize_reuse():
     """qp_factorize + reuse gives the same solutions as the one-shot path."""
     from smooth_feedback_tpu.qp import qp_factorize
