@@ -317,7 +317,11 @@ def _factorize(P, q, A, l, u, prm):
     unbounded = jnp.logical_and(l == -inf, u == inf)
     eq = sy * jnp.abs(l - u) < 1e-5  # NaN (inf-inf) compares False => inequality
     rho_bar = jnp.asarray(prm.rho, dt)
-    rho = jnp.where(unbounded, jnp.asarray(1e-6, dt), jnp.where(eq, 1e3 * rho_bar, rho_bar))
+    rho = jnp.where(
+        unbounded,
+        jnp.asarray(1e-6, dt),
+        jnp.where(eq, prm.rho_eq_scale * rho_bar, rho_bar),
+    )
 
     Ps = c[:, None, None] * sx[:, :, None] * sx[:, None, :] * P
     As = sy[:, :, None] * A * sx[:, None, :]
@@ -443,6 +447,7 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
             x, z, y, status, iters, pres, dres = admm_iterate_pallas_shared(
                 prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
                 l, u, x0, z0, y0, status0, interpret=interp,
+                block=prm.pallas_block,
             )
         else:
             x, z, y, status, iters, pres, dres = admm_iterate_pallas(

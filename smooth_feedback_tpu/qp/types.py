@@ -64,6 +64,12 @@ class QPSolverParams:
 
     alpha: float = 1.6  # relaxation
     rho: float = 0.1  # base dual step size
+    # Equality rows use rho_eq_scale * rho (reference hard-codes 1e3,
+    # qp_solver.hpp:361-374).  Exposed because the product bounds the KKT
+    # condition number, which is what f32 TPU solves can resolve: raising
+    # ``rho`` for faster active-set convergence while lowering this keeps
+    # cond(P + sigma I + A' diag(rho) A) inside f32 range.
+    rho_eq_scale: float = 1e3
     sigma: float = 1e-6  # primal regularization
     scaling: bool = True  # modified-Ruiz equilibration
     eps_abs: float = 1e-3
@@ -83,6 +89,11 @@ class QPSolverParams:
     # (fused TPU kernel keeping each problem's matrices in VMEM across the
     # whole iteration; float32 only, falls back to interpret mode off-TPU).
     backend: str = "xla"
+    # Problems per grid step in the shared-matrix Pallas kernel (the GEMM
+    # row-block height).  Larger blocks amortize the shared-matrix load and
+    # grow the MXU GEMMs, at the cost of coupling more problems to the
+    # slowest member's iteration count.
+    pallas_block: int = 128
     # Print batch residual summaries at every stopping check (the analog of
     # the reference's verbose iteration rows, qp_solver.hpp:409-419); uses
     # jax.debug.print, XLA backend only.
