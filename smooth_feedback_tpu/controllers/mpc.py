@@ -84,21 +84,33 @@ def make_mpc_step(
     dxdes: Optional[Callable] = None,
     dtype=None,
     reuse_factors: bool = False,
+    time_varying: bool = False,
+    validate_reuse: bool = True,
 ):
     """Build the functional MPC step.
 
     Args:
-      f: dynamics ``f(x, u) -> (nx,)`` (body velocity), time-invariant like the
-        reference's F functor; time-varying dynamics can close over state.
+      f: dynamics ``f(x, u) -> (nx,)`` (body velocity).  With
+        ``time_varying=True`` the signature is ``f(t, x, u)`` with *absolute*
+        time ``t`` — the analog of the reference's ``set_time`` hook on MPCDyn
+        (mpc.hpp:137,144,482-485), threaded through transcription instead of
+        mutated in place.
       xdes/udes: desired trajectory ``t -> params`` (absolute time,
         jax-traceable); dxdes optionally provides the body velocity of xdes.
-      cr/crl/cru: optional running constraints ``cr(x, u) -> (ncr,)``.
+      cr/crl/cru: optional running constraints ``cr(x, u) -> (ncr,)``
+        (``cr(t, x, u)`` when ``time_varying=True`` — moving obstacles etc.).
       reuse_factors: when True, the QP scaling + KKT factorization is computed
         ONCE at construction and reused every step — removes the dominant
         per-solve cost.  Only valid when the QP's P and A matrices are
         step-invariant: Euclidean state (or linearization-independent
         Jacobians), time-invariant f/cr Jacobians along xdes, constant
-        weights.  The reference has no analog (it refactorizes per solve).
+        weights.  Validated at construction (``validate_reuse``) by comparing
+        a perturbed-(t, x) transcription against the template.  The reference
+        has no analog (it refactorizes per solve).
+      time_varying: f and cr take absolute time as their first argument.
+        Incompatible with ``reuse_factors`` (P/A change between steps).
+      validate_reuse: check the reuse_factors invariance assumption at
+        construction (two extra transcriptions; disable for fast rebuilds).
 
     Returns ``(step, init_warmstart)`` where
     ``step(warmstart, t, x) -> MPCStepResult`` is jit/vmap/scan-compatible.
@@ -109,12 +121,16 @@ def make_mpc_step(
     n_ival = -(-params.K // Kmesh)  # ceil, cf. mpc.hpp:408
     mesh = Mesh.uniform(n_ival, Kmesh, Kmin=Kmesh, Kmax=Kmesh)
 
+    if time_varying and reuse_factors:
+        raise ValueError(
+            "reuse_factors requires step-invariant QP matrices; "
+            "time-varying dynamics/constraints change P/A every step"
+        )
+
     if cr is None:
-        cr_fn = lambda t, x, u: jnp.zeros((0,), dtype)
         crl_ = jnp.zeros((0,), dtype)
         cru_ = jnp.zeros((0,), dtype)
     else:
-        cr_fn = lambda t, x, u: cr(x, u)
         crl_ = jnp.asarray(crl, dtype)
         cru_ = jnp.asarray(cru, dtype)
 
@@ -130,6 +146,17 @@ def make_mpc_step(
         xl_fun = lambda s: xdes(t + s)
         ul_fun = lambda s: udes(t + s)
         dxl_fun = None if dxdes is None else (lambda s: dxdes(t + s))
+
+        if time_varying:
+            f_ocp = lambda s, x_, u_: f(t + s, x_, u_)
+        else:
+            f_ocp = lambda s, x_, u_: f(x_, u_)
+        if cr is None:
+            cr_ocp = lambda s, x_, u_: jnp.zeros((0,), dtype)
+        elif time_varying:
+            cr_ocp = lambda s, x_, u_: cr(t + s, x_, u_)
+        else:
+            cr_ocp = lambda s, x_, u_: cr(x_, u_)
 
         def theta(tf_, x0, xf, q):
             e = X.rminus(xf, xdes(t + tf))
@@ -147,9 +174,9 @@ def make_mpc_step(
             X=X,
             U=U,
             theta=theta,
-            f=lambda s, x_, u_: f(x_, u_),
+            f=f_ocp,
             g=g,
-            cr=cr_fn,
+            cr=cr_ocp,
             crl=crl_,
             cru=cru_,
             ce=ce,
@@ -193,6 +220,25 @@ def make_mpc_step(
         from ..qp.solver import qp_factorize
 
         qp0 = jax.jit(transcribe)(jnp.zeros((), dtype), X.identity(dtype))
+        if validate_reuse:
+            # the invariance assumption is silent-wrong-answer territory when
+            # violated (stale factors), so probe it: a transcription at a
+            # different time and a perturbed state must produce the same P/A
+            eps = 0.1 * jnp.arange(1, nx + 1, dtype=dtype) / nx
+            x_probe = X.rplus(X.identity(dtype), eps)
+            qp1 = jax.jit(transcribe)(jnp.asarray(0.437, dtype), x_probe)
+            tol = 50 * float(jnp.finfo(dtype or jnp.float32).eps)
+            for name, a0, a1 in (("P", qp0.P, qp1.P), ("A", qp0.A, qp1.A)):
+                err = float(jnp.max(jnp.abs(a1 - a0)))
+                scale = 1.0 + float(jnp.max(jnp.abs(a0)))
+                if not err <= tol * scale:
+                    raise ValueError(
+                        f"reuse_factors: QP matrix {name} is not step-invariant "
+                        f"(max deviation {err:.3e} at a perturbed (t, x)); the "
+                        "factorization template would go stale.  Use "
+                        "reuse_factors=False, or validate_reuse=False to "
+                        "override if the deviation is known-benign."
+                    )
         factors_b = qp_factorize(jax.tree.map(lambda a: a[None], qp0), params.qp)
         # shared (batch-free) factors: every fleet member uses the same
         # matrices, which unlocks the GEMM-based Pallas path
@@ -234,8 +280,18 @@ def make_mpc_step(
         and the pallas backend, the QP batch additionally solves with
         shared-matrix GEMM iterations.
 
-        Valid under the same conditions as ``reuse_factors`` (step-invariant
-        P/A), plus a fleet-wide scalar ``t``."""
+        Requires a fleet-wide scalar ``t``, step-invariant P/A (the
+        ``reuse_factors`` conditions), AND a commutative (Euclidean) state
+        group: the initial-condition rows reuse the x=identity Jacobian
+        ``d rminus(xdes(t), x)``, which is linearization-independent only
+        when ``dr_expinv`` is identity.  Enforced at trace time."""
+        if not X.is_commutative():
+            raise ValueError(
+                "fleet_shared_t shares the initial-condition constraint "
+                "Jacobian across the fleet, which is exact only for "
+                "commutative (Euclidean) state groups; use step.fleet for "
+                f"X={X!r}"
+            )
         t = jnp.asarray(t, dtype)
         B = int(xs.shape[0])
         qp1 = transcribe(t, X.identity(dtype))  # ONE transcription
@@ -298,6 +354,7 @@ class MPC:
         cru=None,
         Kmesh: int = 4,
         dtype=None,
+        time_varying: bool = False,
     ):
         self.X, self.U, self.f = X, U, f
         self.params = params
@@ -305,6 +362,7 @@ class MPC:
         self.cr, self.crl, self.cru = cr, crl, cru
         self.Kmesh = Kmesh
         self.dtype = dtype
+        self.time_varying = time_varying
         self._xdes = lambda t: X.identity(dtype)
         self._dxdes = None
         self._udes = lambda t: U.identity(dtype)
@@ -326,6 +384,7 @@ class MPC:
             Kmesh=self.Kmesh,
             dxdes=self._dxdes,
             dtype=self.dtype,
+            time_varying=self.time_varying,
         )
         self._step = jax.jit(step)
         self._ws = ws0
