@@ -13,11 +13,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_CUT = 1e-2  # |x| cutoff between series and exact branch
+_CUT = 1e-2  # |x| cutoff between series and exact branch (f64)
+
+
+def _cut(dtype):
+    """Series/exact seam, dtype-aware.
+
+    The exact branches cancel catastrophically near zero: their relative
+    error grows like eps/x^2, so the seam must scale with the dtype's eps.
+    In f32 the 3-4 term series are accurate to ~1e-9 relative out to x=0.5 —
+    far below f32 eps — so the seam moves out to 0.5 there.
+    """
+    return 0.5 if jnp.finfo(dtype).bits <= 32 else _CUT
 
 
 def _guard(x):
-    small = jnp.abs(x) < _CUT
+    small = jnp.abs(x) < _cut(x.dtype)
     safe = jnp.where(small, jnp.ones_like(x), x)
     return small, safe
 
@@ -83,8 +94,13 @@ def jlinv2c(x):
 _CUT2 = _CUT * _CUT
 
 
+def _cut2(dtype):
+    c = _cut(dtype)
+    return c * c
+
+
 def _guard2(x2):
-    small = x2 < _CUT2
+    small = x2 < _cut2(x2.dtype)
     safe = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
     return small, safe
 
@@ -135,3 +151,84 @@ def acos_over_sinc(x):
     series = 1.0 - x2 / 12.0 * (1.0 + x2 / 60.0 * (1.0 + x2 / 42.0))
     exact = 0.5 * safe * jnp.sin(safe) / _safe_denom(1.0 - jnp.cos(safe))
     return jnp.where(small, series, exact)
+
+
+# --- higher-order coefficients for SE(3) Q-blocks and closed d2r forms ------
+#
+# The Q-block of the SE(3) Jacobian [Barfoot, "State Estimation for Robotics",
+# eq. 7.86] uses (t - sin t)/t^3 (sin3c2 above) plus the two functions below.
+# Both suffer catastrophic cancellation in their exact branch for small t, so
+# the series cutoff is much larger (t = 0.5): five series terms hold ~1e-10
+# relative accuracy there while the exact branch is clean above it.
+
+
+def cos4c2(x2):
+    """(1 - t^2/2 - cos(t)) / t^4 with t = sqrt(x2)  (= -1/24 + t^2/720 - ...)."""
+    small = x2 < 0.25
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = (
+        -(1.0 - x2 / 30.0 * (1.0 - x2 / 56.0 * (1.0 - x2 / 90.0 * (1.0 - x2 / 132.0))))
+        / 24.0
+    )
+    exact = (1.0 - 0.5 * x2 - jnp.cos(t)) / (x2 * x2)
+    return jnp.where(small, series, exact)
+
+
+def sin5c2(x2):
+    """(t - sin(t) - t^3/6) / t^5 with t = sqrt(x2)  (= -1/120 + t^2/5040 - ...)."""
+    small = x2 < 0.25
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = (
+        -(1.0 - x2 / 42.0 * (1.0 - x2 / 72.0 * (1.0 - x2 / 110.0 * (1.0 - x2 / 156.0))))
+        / 120.0
+    )
+    exact = (t - jnp.sin(t) - t * x2 / 6.0) / (x2 * x2 * t)
+    return jnp.where(small, series, exact)
+
+
+# --- derivatives w.r.t. s = t^2 of the Jacobian coefficients ----------------
+#
+# Used by the closed-form second-order derivatives d2r_exp / d2r_expinv:
+# with c(s) and s = v.v, grad_v c = c'(s) * 2 v.  Cutoff t = 0.1 balances the
+# mild cancellation of the exact branches against 4-term series truncation.
+
+_DCUT2 = 1e-2  # f64 seam; f32 uses 0.25 (same rationale as _cut)
+
+
+def _dcut2(dtype):
+    return 0.25 if jnp.finfo(dtype).bits <= 32 else _DCUT2
+
+
+def dcos1c2(x2):
+    """d/ds [(1 - cos t)/t^2], s = t^2 = x2."""
+    small = x2 < _dcut2(x2.dtype)
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = -(1.0 - x2 / 15.0 * (1.0 - 3.0 * x2 / 112.0 * (1.0 - 2.0 * x2 / 135.0))) / 24.0
+    exact = jnp.sin(t) / (2.0 * t * x2) - (1.0 - jnp.cos(t)) / (x2 * x2)
+    return jnp.where(small, series, exact)
+
+
+def dsin3c2(x2):
+    """d/ds [(t - sin t)/t^3], s = t^2 = x2."""
+    small = x2 < _dcut2(x2.dtype)
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = -(1.0 - x2 / 21.0 * (1.0 - x2 / 48.0 * (1.0 - 2.0 * x2 / 165.0))) / 120.0
+    exact = (1.0 - jnp.cos(t)) / (2.0 * x2 * x2) - 3.0 * (t - jnp.sin(t)) / (
+        2.0 * x2 * x2 * t
+    )
+    return jnp.where(small, series, exact)
+
+
+def djlinv2c2(x2):
+    """d/ds [1/t^2 - (1 + cos t)/(2 t sin t)], s = t^2 = x2."""
+    small = x2 < _dcut2(x2.dtype)
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = (1.0 + x2 / 21.0 * (1.0 + 3.0 * x2 / 80.0)) / 720.0
+    s_, c_ = jnp.sin(t), jnp.cos(t)
+    N = 1.0 + c_
+    # d/dt [N/(2 t s)] = (-s * 2ts - N*(2s + 2tc)) / (2ts)^2
+    du = (-s_ * 2.0 * t * s_ - N * (2.0 * s_ + 2.0 * t * c_)) / _safe_denom(
+        4.0 * x2 * s_ * s_
+    )
+    dc3_dt = -2.0 / (x2 * t) - du
+    return jnp.where(small, series, dc3_dt / (2.0 * t))

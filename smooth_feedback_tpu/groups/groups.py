@@ -149,6 +149,15 @@ def _hat3(w):
     )
 
 
+def _so3_generators(dtype):
+    """(3, 3, 3) stack with G[k] = d hat(v)/d v_k (the so(3) basis)."""
+    G = np.zeros((3, 3, 3))
+    G[0, 1, 2], G[0, 2, 1] = -1.0, 1.0
+    G[1, 0, 2], G[1, 2, 0] = 1.0, -1.0
+    G[2, 0, 1], G[2, 1, 0] = -1.0, 1.0
+    return jnp.asarray(G, dtype=dtype)
+
+
 def _quat_mul(a, b):
     """Hamilton product; storage [x, y, z, w]."""
     ax, ay, az, aw = a[0], a[1], a[2], a[3]
@@ -227,6 +236,40 @@ class _SO3(LieGroup):
         H = _hat3(v)
         return jnp.eye(3, dtype=v.dtype) + 0.5 * H + se.jlinv2c2(th2) * (H @ H)
 
+    # Closed-form second-order derivatives (the reference's flatten Hessians
+    # consume d2r_exp/d2r_expinv via smooth's sparse static tables,
+    # ocp_flatten.hpp:58-81; here: differentiate the coefficient form
+    # c(theta^2) directly, grad_v c = 2 c'(theta^2) v).  Layout matches
+    # jacfwd(dr_exp): out[i, j, k] = d dr_exp[i, j] / d v_k.
+    def d2r_exp(self, v):
+        th2 = v @ v
+        H = _hat3(v)
+        H2 = H @ H
+        G = _so3_generators(v.dtype)  # (3, 3, 3): G[k] = d hat(v) / d v_k
+        GH = jnp.einsum("kij,jl->ilk", G, H) + jnp.einsum("ij,kjl->ilk", H, G)
+        c1, c2 = se.cos1c2(th2), se.sin3c2(th2)
+        dc1, dc2 = 2.0 * se.dcos1c2(th2) * v, 2.0 * se.dsin3c2(th2) * v  # (3,)
+        return (
+            -H[:, :, None] * dc1[None, None, :]
+            - c1 * jnp.moveaxis(G, 0, -1)
+            + H2[:, :, None] * dc2[None, None, :]
+            + c2 * GH
+        )
+
+    def d2r_expinv(self, v):
+        th2 = v @ v
+        H = _hat3(v)
+        H2 = H @ H
+        G = _so3_generators(v.dtype)
+        GH = jnp.einsum("kij,jl->ilk", G, H) + jnp.einsum("ij,kjl->ilk", H, G)
+        c3 = se.jlinv2c2(th2)
+        dc3 = 2.0 * se.djlinv2c2(th2) * v
+        return (
+            0.5 * jnp.moveaxis(G, 0, -1)
+            + H2[:, :, None] * dc3[None, None, :]
+            + c3 * GH
+        )
+
     def normalize(self, q):
         return q / jnp.linalg.norm(q)
 
@@ -240,6 +283,15 @@ class _SO3(LieGroup):
 # -------------------------------------------------------------------------- SE2
 
 _E2 = np.array([[0.0, -1.0], [1.0, 0.0]])
+
+
+def _se2_generators(dtype):
+    """(3, 3, 3) stack with G[k] = d ad(v)/d v_k (the se(2) adjoint basis)."""
+    G = np.zeros((3, 3, 3))
+    G[0, 1, 2] = -1.0
+    G[1, 0, 2] = 1.0
+    G[2, 0, 1], G[2, 1, 0] = -1.0, 1.0
+    return jnp.asarray(G, dtype=dtype)
 
 
 class _SE2(LieGroup):
@@ -296,6 +348,58 @@ class _SE2(LieGroup):
                 [w, z, -v[0]],
                 [z, z, z],
             ]
+        )
+
+    # Closed-form right Jacobians.  The se(2) adjoint matrix A = ad(v)
+    # satisfies A^3 = -w^2 A (same minimal polynomial as the so(3) hat), so
+    # the exp/expinv coefficient functions of SO(3) apply verbatim:
+    #   dr_exp(v)    = I - cos1c(w) A + sin3c(w) A^2
+    #   dr_expinv(v) = I + A/2 + jlinv2c(w) A^2
+    # (role of smooth's dr_expinv_sparse consumed at mpc.hpp:293-301).
+    def dr_exp(self, v):
+        w2 = v[2] * v[2]
+        A = self.ad(v)
+        return (
+            jnp.eye(3, dtype=v.dtype) - se.cos1c2(w2) * A + se.sin3c2(w2) * (A @ A)
+        )
+
+    def dr_expinv(self, v):
+        w2 = v[2] * v[2]
+        A = self.ad(v)
+        return jnp.eye(3, dtype=v.dtype) + 0.5 * A + se.jlinv2c2(w2) * (A @ A)
+
+    # Second-order forms: A is linear in v with constant generators, and the
+    # coefficients depend on v only through w = v[2].
+    def d2r_exp(self, v):
+        w = v[2]
+        A = self.ad(v)
+        A2 = A @ A
+        G = _se2_generators(v.dtype)
+        GA = jnp.einsum("kij,jl->ilk", G, A) + jnp.einsum("ij,kjl->ilk", A, G)
+        w2 = w * w
+        c1, c2 = se.cos1c2(w2), se.sin3c2(w2)
+        dw = jnp.array([0.0, 0.0, 1.0], v.dtype) * (2.0 * w)  # d(w^2)/dv
+        dc1, dc2 = se.dcos1c2(w2) * dw, se.dsin3c2(w2) * dw
+        return (
+            -A[:, :, None] * dc1[None, None, :]
+            - c1 * jnp.moveaxis(G, 0, -1)
+            + A2[:, :, None] * dc2[None, None, :]
+            + c2 * GA
+        )
+
+    def d2r_expinv(self, v):
+        w = v[2]
+        A = self.ad(v)
+        A2 = A @ A
+        G = _se2_generators(v.dtype)
+        GA = jnp.einsum("kij,jl->ilk", G, A) + jnp.einsum("ij,kjl->ilk", A, G)
+        w2 = w * w
+        c3 = se.jlinv2c2(w2)
+        dc3 = se.djlinv2c2(w2) * jnp.array([0.0, 0.0, 1.0], v.dtype) * (2.0 * w)
+        return (
+            0.5 * jnp.moveaxis(G, 0, -1)
+            + A2[:, :, None] * dc3[None, None, :]
+            + c3 * GA
         )
 
     def normalize(self, g):
@@ -362,6 +466,47 @@ class _SE3(LieGroup):
         hw = _hat3(x[3:])
         z = jnp.zeros((3, 3), dtype=x.dtype)
         return jnp.block([[hw, hv], [z, hw]])
+
+    # Closed-form right Jacobians via the Q-block form [Barfoot, "State
+    # Estimation for Robotics", eq. 7.86]:
+    #   dl_exp(v, w)  = [[Jl3(w), Q(v, w)], [0, Jl3(w)]]
+    #   dr_exp(x)     = dl_exp(-x)
+    #   dr_expinv(x)  = [[Ji, -Ji Q(-v,-w) Ji], [0, Ji]],  Ji = SO3.dr_expinv(w)
+    # (the role of smooth's sparse tables in the reference's flatten layer,
+    # ocp_flatten.hpp:58-81).
+    @staticmethod
+    def _Q(rho, phi):
+        """Barfoot's Q: the translation-rotation coupling block of dl_exp."""
+        th2 = phi @ phi
+        rh = _hat3(rho)
+        ph = _hat3(phi)
+        pr = ph @ rh
+        rp = rh @ ph
+        prp = pr @ ph
+        pp = ph @ ph
+        m1 = se.sin3c2(th2)  # (t - sin t)/t^3
+        m2 = se.cos4c2(th2)  # (1 - t^2/2 - cos t)/t^4  (negative near 0)
+        m3 = se.sin5c2(th2)  # (t - sin t - t^3/6)/t^5  (negative near 0)
+        return (
+            0.5 * rh
+            + m1 * (pr + rp + prp)
+            - m2 * (pp @ rh + rh @ pp - 3.0 * prp)
+            - 0.5 * (m2 - 3.0 * m3) * (prp @ ph + ph @ prp)
+        )
+
+    def dr_exp(self, x):
+        v, w = -x[:3], -x[3:]
+        Jl = SO3.dr_exp(-w)  # = dl_exp of SO(3) at w
+        Q = self._Q(v, w)
+        z = jnp.zeros((3, 3), dtype=x.dtype)
+        return jnp.block([[Jl, Q], [z, Jl]])
+
+    def dr_expinv(self, x):
+        v, w = -x[:3], -x[3:]
+        Ji = SO3.dr_expinv(x[3:])  # = Jl3(w)^{-1} since Jr(w) = Jl(-w)
+        Q = self._Q(v, w)
+        z = jnp.zeros((3, 3), dtype=x.dtype)
+        return jnp.block([[Ji, -(Ji @ Q @ Ji)], [z, Ji]])
 
     def normalize(self, g):
         return jnp.concatenate([g[:3], g[3:] / jnp.linalg.norm(g[3:])])

@@ -173,3 +173,37 @@ def test_so3_log_principal():
     v = jnp.array([0.3, -0.2, 0.5])
     q = SO3.exp(v)
     np.testing.assert_allclose(SO3.log(-q), v, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", GROUPS)
+def test_second_order_vs_autodiff(name):
+    """Closed-form d2r_exp/d2r_expinv (SO3/SE2 hand-derived; SE3 autodiff of
+    the closed dr forms) match autodiff of the exp/log fallbacks, within the
+    injectivity radius where dr_expinv is single-valued."""
+    G = GROUPS[name]
+    F = _Fallback(G)
+    k1, _, _ = _keys(name)
+    for i, scale in enumerate((1e-6, 0.009, 0.4, 0.9)):
+        v = scale * jax.random.normal(jax.random.fold_in(k1, i), (G.ndof,))
+        np.testing.assert_allclose(G.d2r_exp(v), F.d2r_exp(v), atol=1e-9)
+        np.testing.assert_allclose(G.d2r_expinv(v), F.d2r_expinv(v), atol=1e-9)
+
+
+def test_series_derivative_helpers():
+    """d/ds coefficient helpers match autodiff of the (total, smooth) base
+    coefficient functions away from their cancellation zones, and the series
+    branch is smooth across the seam."""
+    from smooth_feedback_tpu.groups import _series as se
+
+    # skip s in [1e-4, 1e-1): there the base functions' exact branch itself
+    # cancels under f64 autodiff (verified the helpers against longdouble
+    # references to ~1e-12 across that zone)
+    ss = jnp.concatenate([jnp.logspace(-10, -4.2, 20), jnp.logspace(-1, 1.2, 40)])
+    for f, base in [
+        (se.dcos1c2, se.cos1c2),
+        (se.dsin3c2, se.sin3c2),
+        (se.djlinv2c2, se.jlinv2c2),
+    ]:
+        got = jax.vmap(f)(ss)
+        want = jax.vmap(jax.grad(base))(ss)
+        np.testing.assert_allclose(got, want, rtol=2e-7, atol=1e-12)
