@@ -89,11 +89,49 @@ class OCPSolution(NamedTuple):
     lam_cr: Optional[Callable] = None
 
 
-def test_ocp_derivatives(ocp: OCP, key: jax.Array, num: int = 3, eps: float = 1e-6):
+def _check_first_second(fn_c, ndof, eps, label, second_order):
+    """First- and second-order FD consistency of a chart map ``w -> fn_c(w)``
+    around w = 0 (the reference validates both jacobians and hessians,
+    ocp.hpp:165-338)."""
+    z = jnp.zeros(ndof)
+    J = jax.jacfwd(fn_c)(z)
+    assert bool(jnp.isfinite(jnp.asarray(J)).all()), f"non-finite d{label}"
+    for d in range(ndof):
+        e = z.at[d].set(eps)
+        fd = (fn_c(e) - fn_c(-e)) / (2 * eps)
+        np.testing.assert_allclose(
+            jnp.asarray(J)[..., d], fd, atol=1e-4, rtol=1e-4, err_msg=f"d{label}"
+        )
+    if not second_order:
+        return
+    Jfun = jax.jacfwd(fn_c)
+    H = jax.jacfwd(Jfun)(z)
+    assert bool(jnp.isfinite(jnp.asarray(H)).all()), f"non-finite d2{label}"
+    feps = float(eps) ** 0.5  # FD of an exact jacobian: larger step is stabler
+    for d in range(ndof):
+        e = z.at[d].set(feps)
+        fd = (Jfun(e) - Jfun(-e)) / (2 * feps)
+        np.testing.assert_allclose(
+            jnp.asarray(H)[..., d], fd, atol=1e-3, rtol=1e-3, err_msg=f"d2{label}"
+        )
+    # symmetry of the mixed partials (a cheap state-bug detector)
+    Ha = jnp.asarray(H)
+    np.testing.assert_allclose(Ha, jnp.swapaxes(Ha, -1, -2), atol=1e-9, err_msg=label)
+
+
+def test_ocp_derivatives(
+    ocp: OCP,
+    key: jax.Array,
+    num: int = 3,
+    eps: float = 1e-6,
+    second_order: bool = True,
+):
     """Self-check utility in the spirit of the reference's
     ``test_ocp_derivatives`` (ocp.hpp:165-338): verifies that autodiff
-    derivatives of the user's callables are finite and consistent with finite
-    differences at random points.  Raises AssertionError on failure."""
+    first- AND second-order derivatives of the user's callables are finite
+    and consistent with finite differences at random points.  Raises
+    AssertionError on failure.  Like the reference's usage
+    (tests/test_ocp_flatten.cpp:53-59), call twice to catch hidden state."""
     X, U = ocp.X, ocp.U
     nq = ocp.nq
     for i in range(num):
@@ -103,22 +141,27 @@ def test_ocp_derivatives(ocp: OCP, key: jax.Array, num: int = 3, eps: float = 1e
         u = U.random(k3, 0.5)
         q = jax.random.normal(key, (nq,))
 
-        # dynamics jacobian wrt tangent perturbation vs finite differences
-        zx = jnp.zeros(X.ndof)
-        J = jax.jacfwd(lambda w: ocp.f(t, X.rplus(x, w), u))(zx)
-        assert bool(jnp.isfinite(J).all()), "non-finite df/dx"
-        for d in range(X.ndof):
-            e = zx.at[d].set(eps)
-            fd = (ocp.f(t, X.rplus(x, e), u) - ocp.f(t, X.rplus(x, -e), u)) / (2 * eps)
-            np.testing.assert_allclose(J[:, d], fd, atol=1e-4, rtol=1e-4)
-
-        # endpoint functions
-        for fn in (ocp.theta, ocp.ce):
-            val = fn(t, x, x, q)
-            assert bool(jnp.isfinite(jnp.asarray(val)).all())
-            Jx = jax.jacfwd(lambda w: fn(t, X.rplus(x, w), x, q))(zx)
-            assert bool(jnp.isfinite(jnp.asarray(Jx)).all())
-
-        for fn in (ocp.g, ocp.cr):
+        # dynamics / running-cost / running-constraint charts in (x, u)
+        for fn, label in ((ocp.f, "f"), (ocp.g, "g"), (ocp.cr, "cr")):
             val = fn(t, x, u)
-            assert bool(jnp.isfinite(val).all())
+            assert bool(jnp.isfinite(jnp.asarray(val)).all()), f"non-finite {label}"
+
+            def chart(w, fn=fn):
+                return fn(t, X.rplus(x, w[: X.ndof]), U.rplus(u, w[X.ndof :]))
+
+            _check_first_second(chart, X.ndof + U.ndof, eps, label, second_order)
+
+        # endpoint functions: chart in (x0, xf, q)
+        for fn, label in ((ocp.theta, "theta"), (ocp.ce, "ce")):
+            val = fn(t, x, x, q)
+            assert bool(jnp.isfinite(jnp.asarray(val)).all()), f"non-finite {label}"
+
+            def chart(w, fn=fn):
+                return fn(
+                    t,
+                    X.rplus(x, w[: X.ndof]),
+                    X.rplus(x, w[X.ndof : 2 * X.ndof]),
+                    q + w[2 * X.ndof :],
+                )
+
+            _check_first_second(chart, 2 * X.ndof + nq, eps, label, second_order)

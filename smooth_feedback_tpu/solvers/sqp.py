@@ -114,12 +114,29 @@ def solve_nlp_sqp(
         if params.hessian == "exact":
             H = lag_hess(x, lam)
             H = 0.5 * (H + H.T)
-            # convexify: the ADMM subproblem needs H PSD; shift by the exact
-            # most-negative eigenvalue (an indefinite H passed through
-            # Cholesky yields silently diverging subproblems)
-            lam_min = jnp.linalg.eigvalsh(H)[0]
-            shift = jnp.maximum(0.0, -lam_min) + st.reg
-            H = H + shift * eyeN
+            # Convexify with a shifted-Cholesky trial loop (the role of
+            # Ipopt's inertia correction, compat/ipopt.hpp:298-338 path): try
+            # chol(H + tau I) for escalating tau until it succeeds.  Near a
+            # solution H is usually already PSD, so the expected cost is ONE
+            # n^3/3 Cholesky — versus the full O(n^3)-with-large-constant
+            # eigendecomposition this replaces (round-1 weak #5).
+            def _chol_ok(tau):
+                L = jnp.linalg.cholesky(H + tau * eyeN)
+                return jnp.isfinite(L).all()
+
+            tau0 = st.reg
+
+            def _esc_cond(c):
+                tau, ok = c
+                return jnp.logical_and(jnp.logical_not(ok), tau < params.reg_max)
+
+            def _esc_body(c):
+                tau, _ = c
+                tau_next = 10.0 * tau
+                return tau_next, _chol_ok(tau_next)
+
+            tau, _ = lax.while_loop(_esc_cond, _esc_body, (tau0, _chol_ok(tau0)))
+            H = H + tau * eyeN
         else:
             H = st.Hb + st.reg * eyeN
 
@@ -138,10 +155,18 @@ def solve_nlp_sqp(
         # blends below (0 * nan = nan even at alpha = 0)
         lam_qp = jnp.where(jnp.isfinite(sol.dual[:m]), sol.dual[:m], 0.0)
         z_qp = jnp.where(jnp.isfinite(sol.dual[m:]), sol.dual[m:], 0.0)
+        # Accept Optimal / PolishFailed, and also MaxIterations iterates: an
+        # unconverged ADMM iterate is usually still a descent direction (f32
+        # subproblems near tight tolerances often cap out), and the merit
+        # line search below rejects it if not.  Only infeasibility
+        # certificates and non-finite solutions zero the step.
         qp_ok = jnp.logical_and(
             jnp.logical_or(
                 sol.status == QPSolutionStatus.Optimal,
-                sol.status == QPSolutionStatus.PolishFailed,
+                jnp.logical_or(
+                    sol.status == QPSolutionStatus.PolishFailed,
+                    sol.status == QPSolutionStatus.MaxIterations,
+                ),
             ),
             jnp.isfinite(d).all(),
         )

@@ -163,3 +163,40 @@ def test_unflatten_roundtrip():
         sol.x(t), SE2.rplus(xl(t), e_traj(t)), atol=1e-12
     )
     np.testing.assert_allclose(sol.u(t), v_traj(t), atol=1e-12)
+
+
+def test_derivative_self_check_on_flat_ocp():
+    """test_ocp_derivatives with Hessian verification, run TWICE on both the
+    original and the flattened SE(2) OCP (reference pattern:
+    tests/test_ocp_flatten.cpp:53-59 runs the check twice to catch state)."""
+    from smooth_feedback_tpu.ocp.ocp import test_ocp_derivatives
+
+    ocp = _se2_ocp()
+    xl = lambda t: SE2.exp(jnp.array([1.0, 0.0, 0.5]) * t)
+    ul = lambda t: 0.1 * jnp.ones(2)
+    flat = flatten_ocp(ocp, xl, ul)
+    for probe in (ocp, flat):
+        test_ocp_derivatives(probe, jax.random.PRNGKey(5), num=2)
+        test_ocp_derivatives(probe, jax.random.PRNGKey(5), num=2)
+
+
+def test_derivative_self_check_catches_bad_hessian():
+    """A cost whose first derivative is right but second derivative is wrong
+    (a custom_jvp rule that hides curvature) must be flagged — this is the
+    class of bug the first-order-only round-1 check could not see."""
+    from smooth_feedback_tpu.ocp.ocp import test_ocp_derivatives
+
+    @jax.custom_jvp
+    def cube(x):
+        return x**3
+
+    @cube.defjvp
+    def _cube_jvp(primals, tangents):
+        (x,), (dx,) = primals, tangents
+        # first-order value correct; stop_gradient hides the curvature from
+        # a second forward sweep, so the autodiff Hessian is 0 instead of 6x
+        return x**3, 3.0 * jax.lax.stop_gradient(x) ** 2 * dx
+
+    ocp = _se2_ocp()._replace(g=lambda t, x, u: jnp.array([cube(u[0]) + u @ u]))
+    with pytest.raises(AssertionError):
+        test_ocp_derivatives(ocp, jax.random.PRNGKey(5), num=3)

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from smooth_feedback_tpu.ocp.nlp import NLP, NLPSolutionStatus
+from smooth_feedback_tpu.qp import QPSolverParams
 from smooth_feedback_tpu.solvers import SQPParams, solve_nlp_sqp
 
 inf = float("inf")
@@ -135,3 +136,20 @@ def test_vmap_batch_of_nlps():
     np.testing.assert_allclose(sols.x[0], [0.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(sols.x[1], [1.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(sols.x[2], [2.0, -1.0], atol=1e-6)  # constrained
+
+
+def test_f32_rosenbrock_chain():
+    """f32 exact-Hessian SQP (the TPU configuration): unconverged ADMM
+    subproblem iterates are usable line-search directions, so f32 converges
+    in the same ~4 iterations as f64 instead of stalling at reg escalation."""
+    n = 12
+    f = lambda x: jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+    g = lambda x: jnp.array([jnp.sum(x) - 0.9 * n])
+    nlp = NLP(n=n, m=1, f=f, g=g,
+              xl=-5 * jnp.ones(n, jnp.float32), xu=5 * jnp.ones(n, jnp.float32),
+              gl=jnp.zeros(1, jnp.float32), gu=jnp.zeros(1, jnp.float32))
+    prm = SQPParams(max_iter=100, tol=1e-3, qp=QPSolverParams(
+        eps_abs=1e-5, eps_rel=1e-5, polish=False, max_iter=2000, kkt_refine_iters=1))
+    sol = jax.jit(lambda x: solve_nlp_sqp(nlp, x, prm))(0.9 * jnp.ones(n, jnp.float32))
+    assert int(sol.status) == int(NLPSolutionStatus.Optimal)
+    assert int(sol.iters) <= 10
