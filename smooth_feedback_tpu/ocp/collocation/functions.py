@@ -113,17 +113,25 @@ def mesh_dyn_error(mesh: Mesh, f: Callable, t0, tf, xfun: Callable, ufun: Callab
 
 
 def _bary_eval(tnodes: np.ndarray, wb: np.ndarray, vals, u):
-    """Barycentric Lagrange evaluation at traced scalar ``u``; exact at nodes."""
+    """Barycentric Lagrange evaluation at traced scalar ``u``; exact at nodes.
+
+    Uses the *first* (modified-Lagrange) barycentric form
+    ``p(u) = sum_k w_k prod_{j!=k}(u - t_j) v_k / sum_k w_k prod_{j!=k}(u - t_j)``,
+    a plain polynomial expression in ``u`` with no removable singularity, so
+    JAX derivatives w.r.t. ``u`` are correct everywhere *including at the
+    nodes* (the second form's node short-circuit gave zero tangents there).
+    Stable for the small K (<= Kmax+1) used per collocation interval."""
     tn = jnp.asarray(tnodes)
     w = jnp.asarray(wb)
     d = u - tn
-    near = jnp.abs(d) < 1e-13
-    inv = w / jnp.where(near, 1.0, d)
-    num = jnp.einsum("k,k...->...", inv, vals)
-    den = jnp.sum(inv)
-    exact = num / den
-    idx = jnp.argmax(near)
-    return jnp.where(near.any(), vals[idx], exact)
+    K = tn.shape[0]
+    off_diag = ~np.eye(K, dtype=bool)
+    # prods[k] = prod_{j != k} (u - t_j)
+    prods = jnp.prod(jnp.where(off_diag, d[None, :], jnp.ones((), d.dtype)), axis=1)
+    lw = w * prods
+    num = jnp.einsum("k,k...->...", lw, vals)
+    den = jnp.sum(lw)
+    return num / den
 
 
 def mesh_interp(mesh: Mesh, values, tau, extend: bool = True, deriv: int = 0):
@@ -131,8 +139,12 @@ def mesh_interp(mesh: Mesh, values, tau, extend: bool = True, deriv: int = 0):
     (cf. Mesh::eval, mesh.hpp:433-471).
 
     ``values`` has shape (N+1, d) if ``extend`` else (N, d); ``tau`` is a
-    traced scalar in [0, 1] (clamped outside).  ``deriv`` in {0, 1}.
+    traced scalar in [0, 1] (clamped outside).  ``deriv`` is any order >= 0
+    (like the reference's template parameter; orders beyond the local
+    polynomial degree return 0).
     """
+    if deriv < 0:
+        raise ValueError("deriv must be >= 0")
     taus0 = np.asarray([t for _, t in mesh.intervals])
     tau = jnp.clip(tau, 0.0, 1.0)
     ival = jnp.clip(
@@ -159,22 +171,25 @@ def mesh_interp(mesh: Mesh, values, tau, extend: bool = True, deriv: int = 0):
                 vals = values[o : o + K + 1]
             if deriv == 0:
                 return _bary_eval(tn, wb, vals, u)
-            elif deriv == 1:
-                # derivative values at the K collocation nodes, then interp
-                if use_short:
-                    # degree K-1 polynomial: differentiate via colloc diffmat
-                    D = np.asarray(_colloc_diffmat(K))
-                    dvals = jnp.einsum("jk,j...->k...", jnp.asarray(D), vals)
-                    tdn, wdn = lgr_nodes(K), bary_weights_colloc(K)
-                    out = _bary_eval(tdn[0], wdn, dvals, u)
-                else:
-                    D = diffmat_local(K)  # (K+1, K) local derivative
-                    dvals = jnp.einsum("jk,j...->k...", jnp.asarray(D), vals)
-                    tdn = lgr_nodes(K)[0]
-                    wdn = bary_weights_colloc(K)
-                    out = _bary_eval(tdn, wdn, dvals, u)
-                return out / (tauf - tau0)  # chain rule to [0,1] timescale
-            raise NotImplementedError("deriv must be 0 or 1")
+            # derivative values at the K collocation nodes, then interp.
+            # Higher orders chain host-side differentiation matrices: the
+            # first application maps (K+1)-node values onto the K LGR nodes
+            # (degree K-1 space), further orders stay in that space via the
+            # K x K collocation diffmat — all assembled into ONE static
+            # matrix on the host (reference Mesh::eval is likewise templated
+            # on arbitrary derivative order, mesh.hpp:433-471).
+            Dc = np.asarray(_colloc_diffmat(K))
+            if use_short:
+                # degree K-1 polynomial on the K LGR nodes
+                D = np.linalg.matrix_power(Dc, deriv)
+            else:
+                D = diffmat_local(K)  # (K+1, K) local first derivative
+                D = D @ np.linalg.matrix_power(Dc, deriv - 1)
+            dvals = jnp.einsum("jk,j...->k...", jnp.asarray(D), vals)
+            tdn = lgr_nodes(K)[0]
+            wdn = bary_weights_colloc(K)
+            out = _bary_eval(tdn, wdn, dvals, u)
+            return out / (tauf - tau0) ** deriv  # chain rule to [0,1] scale
 
         return branch
 

@@ -164,6 +164,43 @@ def test_mesh_interp_roundtrip():
     np.testing.assert_allclose(out1[0], 3 * 0.3**2, atol=1e-6)
 
 
+def test_mesh_interp_higher_derivatives():
+    """deriv >= 2 (reference Mesh::eval arbitrary order, mesh.hpp:433-471)."""
+    m = Mesh.uniform(2, 6).refine_ph(1, 8)
+    taus = m.all_nodes()
+    vals = jnp.stack([taus**4, taus**2], axis=1)
+
+    for tq in [0.13, 0.5, 0.81, float(taus[2])]:
+        d2 = mesh_interp(m, vals, jnp.asarray(tq), deriv=2)
+        np.testing.assert_allclose(d2[0], 12 * tq**2, atol=1e-5)
+        np.testing.assert_allclose(d2[1], 2.0, atol=1e-6)
+        d3 = mesh_interp(m, vals, jnp.asarray(tq), deriv=3)
+        np.testing.assert_allclose(d3[0], 24 * tq, atol=1e-4)
+        np.testing.assert_allclose(d3[1], 0.0, atol=1e-6)
+    # order beyond the polynomial degree -> 0
+    d9 = mesh_interp(m, vals, jnp.asarray(0.4), deriv=9)
+    np.testing.assert_allclose(np.asarray(d9), 0.0, atol=1e-3)
+
+    # no-extend path (u trajectories): second derivative of a cubic
+    vals_u = jnp.asarray(taus[:-1] ** 3)[:, None]
+    d2u = mesh_interp(m, vals_u, jnp.asarray(0.9), extend=False, deriv=2)
+    np.testing.assert_allclose(d2u[0], 6 * 0.9, atol=1e-5)
+
+
+def test_mesh_interp_grad_at_nodes():
+    """d/dtau of the interpolant is correct AT mesh nodes (the old
+    second-form short-circuit returned zero tangents there)."""
+    m = Mesh.uniform(2, 5).refine_ph(0, 7)
+    taus = m.all_nodes()
+    vals = jnp.stack([taus**3, 2 * taus], axis=1)
+
+    g = jax.grad(lambda t: mesh_interp(m, vals, t)[0])
+    # interior mesh nodes (skip endpoints: one-sided polynomial pieces)
+    for tq in [taus[1], taus[3], 0.31, taus[-2]]:
+        np.testing.assert_allclose(float(g(jnp.asarray(float(tq)))),
+                                   3 * float(tq) ** 2, atol=1e-6)
+
+
 def test_mesh_interp_no_extend():
     """extend=False uses only collocation values (u-trajectory interp)."""
     m = Mesh.uniform(2, 5)
