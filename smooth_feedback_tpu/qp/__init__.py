@@ -1,6 +1,6 @@
 """Batched dense QP solving (L2 numerical kernel layer)."""
 
-from .solver import QPFactors, qp_factorize, solve_qp, solve_qp_batch
+from .solver import QPFactors, qp_factorize, solve_qp, solve_qp_batch, solve_qp_timed
 from .types import (
     QPSolution,
     QPSolutionStatus,
@@ -19,6 +19,7 @@ __all__ = [
     "qp_factorize",
     "QPFactors",
     "solve_qp_batch",
+    "solve_qp_timed",
     "random_qp",
     "warmstart_like",
 ]

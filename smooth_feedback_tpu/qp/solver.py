@@ -599,3 +599,63 @@ def solve_qp(
     ws_b = None if warmstart is None else jax.tree.map(lambda a: a[None], warmstart)
     sol = solve_qp_batch(qp_b, prm, ws_b)
     return jax.tree.map(lambda a: a[0], sol)
+
+
+def solve_qp_timed(
+    qp: QuadraticProgram,
+    prm: QPSolverParams = QPSolverParams(),
+    warmstart: Optional[QPSolution] = None,
+    max_time: float = float("inf"),
+    chunk_iter: int = 200,
+) -> QPSolution:
+    """Solve with a host-level wall-clock budget (the role of the reference's
+    ``max_time``, qp_solver.hpp:46-47,529-533).
+
+    A jitted kernel cannot read the wall clock, so the budget lives at the
+    host: the batched solve runs in chunks of ``chunk_iter`` ADMM iterations,
+    carrying primal/dual across chunks as warmstarts, and checks the clock
+    between chunks (the host analog of the reference's per-stopping-check
+    clock read).  Elements still unconverged when the budget expires are
+    returned with status ``MaxTime``; ``iters`` accumulates across chunks.
+
+    Accepts single (unbatched) or batched ``qp``.  Note the first chunk
+    includes XLA compile time unless the shapes were warmed up.
+    """
+    import dataclasses as _dc
+    import time as _time
+
+    import numpy as np
+
+    batched = qp.P.ndim == 3
+    qp_b = qp if batched else jax.tree.map(lambda a: a[None], qp)
+    ws = warmstart
+    if ws is not None and not batched:
+        ws = jax.tree.map(lambda a: a[None], ws)
+
+    deadline = _time.monotonic() + max_time
+    total = 0
+    iters_acc = None
+    sol = None
+    while True:
+        this_chunk = min(chunk_iter, prm.max_iter - total)
+        prm_c = _dc.replace(prm, max_iter=this_chunk)
+        sol = solve_qp_batch(qp_b, prm_c, ws)
+        jax.block_until_ready(sol.primal)
+        iters_acc = sol.iters if iters_acc is None else iters_acc + sol.iters
+        total += this_chunk
+        unconverged = np.asarray(sol.status) == _MAX_ITER
+        if not unconverged.any() or total >= prm.max_iter:
+            break
+        if _time.monotonic() >= deadline:
+            status = jnp.where(
+                jnp.asarray(unconverged),
+                jnp.int32(int(QPSolutionStatus.MaxTime)),
+                sol.status,
+            )
+            sol = sol._replace(status=status)
+            break
+        ws = sol
+    sol = sol._replace(iters=iters_acc)
+    if not batched:
+        sol = jax.tree.map(lambda a: a[0], sol)
+    return sol

@@ -39,7 +39,7 @@ class QPSolutionStatus(enum.IntEnum):
     PrimalInfeasible = 2
     DualInfeasible = 3
     MaxIterations = 4
-    MaxTime = 5  # kept for API parity; wall-clock limits live at host level
+    MaxTime = 5  # produced by the host-level budget wrapper solve_qp_timed
     Unknown = 6
     # internal sentinel: still iterating (never returned)
     Running = -1

@@ -360,3 +360,40 @@ def test_factorize_reuse():
     r2 = solve_qp_batch(qps, prm, None, fac)
     np.testing.assert_allclose(r1.primal, r2.primal, atol=1e-12)
     assert np.array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+
+
+def test_solve_qp_timed_optimal():
+    """With a generous budget solve_qp_timed matches the plain solve."""
+    from smooth_feedback_tpu.qp import solve_qp_timed
+
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    sol = solve_qp_timed(qp, PRM, max_time=60.0, chunk_iter=50)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, [1, -0.25], atol=TOL)
+
+
+def test_solve_qp_timed_budget_exceeded():
+    """An expired wall-clock budget labels unconverged elements MaxTime
+    (role of reference max_time, qp_solver.hpp:46-47,529-533)."""
+    from smooth_feedback_tpu.qp import solve_qp_timed
+
+    # unattainable tolerance so no chunk ever converges
+    prm = QPSolverParams(eps_abs=1e-30, eps_rel=1e-30, max_iter=10000,
+                         polish=False)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    qps = jax.vmap(lambda k: random_qp(k, n=6, m=8))(keys)
+    sol = solve_qp_timed(qps, prm, max_time=0.0, chunk_iter=50)
+    assert np.all(np.asarray(sol.status) == QPSolutionStatus.MaxTime)
+    assert np.all(np.asarray(sol.iters) == 50)  # exactly one chunk ran
+
+
+def test_solve_qp_timed_iters_accumulate():
+    """iters accumulates across chunks and the chunked path still converges."""
+    from smooth_feedback_tpu.qp import solve_qp_timed
+
+    qp = _qp(np.eye(2), [-4, 0.25], np.eye(2), [-1, -1], [1, 1])
+    ref = solve_qp(qp, PRM)
+    sol = solve_qp_timed(qp, PRM, max_time=60.0, chunk_iter=10)
+    assert int(sol.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(sol.primal, ref.primal, atol=TOL)
+    assert int(sol.iters) >= int(ref.iters) // 2  # sane accumulation
