@@ -32,6 +32,10 @@ class SolveOCPParams:
     tf_guess: float = 1.0  # initial horizon guess
     sqp: SQPParams = dataclasses.field(default_factory=SQPParams)
     verbose: bool = False
+    # Stop refining when an NLP solve is non-Optimal instead of refining the
+    # mesh around an unconverged solution (reference examples log-and-stop,
+    # examples/ocp_se2_nlp.cpp:47-91).
+    fail_fast: bool = True
 
 
 class SolveOCPInfo(NamedTuple):
@@ -65,6 +69,16 @@ def solve_ocp_flat(
         nlpsol = solve(z)
         status = NLPSolutionStatus(int(nlpsol.status))
         ocpsol = nlpsol_to_ocpsol(flatocp, mesh, nlpsol)
+
+        if status != NLPSolutionStatus.Optimal and params.fail_fast:
+            # don't refine the mesh around an unconverged solution; surface
+            # the non-Optimal status to the caller instead
+            meshes.append(mesh)
+            iters.append(int(nlpsol.iters))
+            errors.append(float("nan"))
+            if params.verbose:
+                print(f"[solve_ocp] iter {it}: NLP returned {status.name}; stopping")
+            break
 
         # error estimation on a degree-elevated mesh (ocp_se2_nlp.cpp:79-81)
         mesh_hi = mesh.increase_degrees()
