@@ -69,6 +69,20 @@ def solve_nlp_sqp(
     lam0: Optional[jax.Array] = None,
 ) -> NLPSolution:
     """Solve an NLP with line-search SQP; jit/vmap-compatible."""
+    # TPU matmuls default to bf16 for f32 inputs; every derivative, KKT
+    # residual, and Cholesky trial here must run at full precision or the
+    # stationarity measure floors at bf16 resolution (~1e-2) and f32 solves
+    # stall far above tol (the QP kernel already forces this internally).
+    with jax.default_matmul_precision("highest"):
+        return _solve_nlp_sqp_impl(nlp, x0, params, lam0)
+
+
+def _solve_nlp_sqp_impl(
+    nlp: NLP,
+    x0: jax.Array,
+    params: SQPParams,
+    lam0: Optional[jax.Array],
+) -> NLPSolution:
     n, m = nlp.n, nlp.m
     dt = x0.dtype
     inf = jnp.asarray(jnp.inf, dt)
@@ -218,7 +232,14 @@ def solve_nlp_sqp(
         phis = jax.vmap(merit)(alphas)
         # non-finite merit (overflowing trial points) must never be selected
         phis = jnp.where(jnp.isfinite(phis), phis, inf)
-        armijo_ok = phis <= phi0 + params.armijo * alphas * dd
+        # Relative merit tolerance: near a solution the true merit decrease is
+        # below floating-point resolution of phi (in f32: |phi| ~ 1, decrease
+        # ~ 1e-8), so an exact Armijo test rejects every step and the solver
+        # stalls with alpha = 0.  Accepting eps-level ties is the standard
+        # approximate-descent remedy; in f64 the slack is ~1e-15 |phi| and
+        # changes nothing.
+        eps_m = 10.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(phi0))
+        armijo_ok = phis <= phi0 + params.armijo * alphas * dd + eps_m
         any_ok = jnp.any(armijo_ok)
         first_ok = jnp.argmax(armijo_ok)  # first True (alphas descending)
         best = jnp.argmin(phis)

@@ -153,3 +153,44 @@ def test_f32_rosenbrock_chain():
     sol = jax.jit(lambda x: solve_nlp_sqp(nlp, x, prm))(0.9 * jnp.ones(n, jnp.float32))
     assert int(sol.status) == int(NLPSolutionStatus.Optimal)
     assert int(sol.iters) <= 10
+
+
+def test_f32_di_collocation_converges():
+    """f32 DI collocation NLP (the TPU configuration, here on CPU f32):
+    converges Optimal to tol 2e-4 with the eps-scaled merit acceptance.
+    Guards the single-precision path of solve_nlp_sqp end to end — on the
+    real TPU the same config needs the solver-wide full-matmul-precision
+    scope (bf16 matmuls floor the KKT residual at ~1e-2)."""
+    from smooth_feedback_tpu.groups import Rn
+    from smooth_feedback_tpu.ocp import OCP, nlp_initial_guess, ocp_to_nlp
+    from smooth_feedback_tpu.ocp.collocation import Mesh
+
+    f32 = jnp.float32
+    ocp = OCP(
+        X=Rn(2), U=Rn(1),
+        theta=lambda tf, x0, xf, q: q[0],
+        f=lambda t, x, u: jnp.stack([x[1], u[0]]),
+        g=lambda t, x, u: jnp.array([x @ x + u @ u]),
+        cr=lambda t, x, u: jnp.stack([x[1], u[0]]),
+        crl=jnp.array([-1.5, -1.0], f32), cru=jnp.array([1.5, 1.0], f32),
+        ce=lambda tf, x0, xf, q: jnp.concatenate([tf[None], x0, xf]),
+        cel=jnp.array([5.0, 1.0, 0.0, 0.0, 0.0], f32),
+        ceu=jnp.array([5.0, 1.0, 0.0, 0.0, 0.0], f32),
+    )
+    mesh = Mesh.uniform(4, 5)
+    nlp = ocp_to_nlp(ocp, mesh)
+    z0 = jnp.asarray(nlp_initial_guess(ocp, mesh, 5.0), f32)
+    # force the full evaluation chain into f32 (under the x64 conftest the
+    # transcription's float literals otherwise promote everything to f64)
+    nlp32 = nlp._replace(
+        f=lambda x: jnp.asarray(nlp.f(x), f32),
+        g=lambda x: jnp.asarray(nlp.g(x), f32),
+        xl=nlp.xl.astype(f32), xu=nlp.xu.astype(f32),
+        gl=nlp.gl.astype(f32), gu=nlp.gu.astype(f32),
+    )
+    prm = SQPParams(max_iter=60, tol=2e-4, qp=QPSolverParams(
+        eps_abs=1e-6, eps_rel=1e-6, max_iter=4000, polish=False))
+    sol = solve_nlp_sqp(nlp32, z0, prm)
+    assert int(sol.status) == int(NLPSolutionStatus.Optimal)
+    # objective matches the f64 optimum of this problem (1.732945) closely
+    np.testing.assert_allclose(float(sol.objective), 1.732945, rtol=2e-3)
