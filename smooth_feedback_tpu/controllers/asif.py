@@ -71,6 +71,13 @@ def asif_to_qp(
     ``T``, ``prm`` are static (they fix the scan length); everything else may
     be traced/batched.
     """
+    # sensitivity propagation S' = (-ad(f)+J)S and barrier-row assembly feed
+    # a QP; TPU bf16 default-precision matmuls would corrupt the rows
+    with jax.default_matmul_precision("highest"):
+        return _asif_to_qp_impl(X, U, prm, T, x0, u_des, W_u, ulim, f, h, bu)
+
+
+def _asif_to_qp_impl(X, U, prm, T, x0, u_des, W_u, ulim, f, h, bu):
     nx, nu = X.ndof, U.ndof
     dt_ = jnp.result_type(x0)
     nh = int(jax.eval_shape(h, jnp.zeros(()), x0).shape[0])

@@ -44,7 +44,8 @@ def mesh_integrate(mesh: Mesh, fn: Callable, t0, tf, X, U):
     (cf. mesh_integrate, mesh_function.hpp:273-419). Returns (nf,)."""
     w = jnp.asarray(mesh.all_weights()[:-1])
     vals = mesh_eval(mesh, fn, t0, tf, X, U)
-    return (tf - t0) * jnp.einsum("i,i...->...", w, vals)
+    with jax.default_matmul_precision("highest"):  # TPU: no bf16 quadrature
+        return (tf - t0) * jnp.einsum("i,i...->...", w, vals)
 
 
 def global_diffmat(mesh: Mesh) -> np.ndarray:
@@ -74,7 +75,8 @@ def mesh_dyn(mesh: Mesh, f: Callable, t0, tf, X, U, weighted: bool = True):
     with ``w_i`` quadrature weights if ``weighted`` (reference behavior).
     """
     F = mesh_eval(mesh, f, t0, tf, X, U)  # (N, nx)
-    dX = jnp.asarray(global_diffmat(mesh), dtype=X.dtype) @ X  # (N, nx)
+    with jax.default_matmul_precision("highest"):  # TPU: no bf16 defects
+        dX = jnp.asarray(global_diffmat(mesh), dtype=X.dtype) @ X  # (N, nx)
 
     defect = (tf - t0) * F - dX
     if weighted:
@@ -90,6 +92,11 @@ def mesh_dyn_error(mesh: Mesh, f: Callable, t0, tf, xfun: Callable, ufun: Callab
     (typically interpolants of a solution on a *different* mesh).
     Returns (N_ivals,).
     """
+    with jax.default_matmul_precision("highest"):  # drives refinement: exact
+        return _mesh_dyn_error_impl(mesh, f, t0, tf, xfun, ufun)
+
+
+def _mesh_dyn_error_impl(mesh, f, t0, tf, xfun, ufun):
     errs = []
     for i in range(mesh.N_ivals):
         K = mesh.N_colloc_ival(i)
@@ -145,6 +152,11 @@ def mesh_interp(mesh: Mesh, values, tau, extend: bool = True, deriv: int = 0):
     """
     if deriv < 0:
         raise ValueError("deriv must be >= 0")
+    with jax.default_matmul_precision("highest"):  # TPU: exact interpolants
+        return _mesh_interp_impl(mesh, values, tau, extend, deriv)
+
+
+def _mesh_interp_impl(mesh: Mesh, values, tau, extend: bool, deriv: int):
     taus0 = np.asarray([t for _, t in mesh.intervals])
     tau = jnp.clip(tau, 0.0, 1.0)
     ival = jnp.clip(

@@ -89,6 +89,21 @@ def ocp_to_qp(
     velocity of ``xl_fun`` (otherwise obtained by autodiff in time).
     Fully traced: jit/vmap-compatible, with ``mesh`` static.
     """
+    # the transcription's Jacobians and cost expansions feed a QP solved to
+    # 1e-3..1e-6; TPU bf16 default-precision matmuls would perturb A/P at
+    # ~1e-2 relative, so force full precision like the solvers do
+    with jax.default_matmul_precision("highest"):
+        return _ocp_to_qp_impl(ocp, mesh, tf, xl_fun, ul_fun, dxl_fun)
+
+
+def _ocp_to_qp_impl(
+    ocp: OCP,
+    mesh: Mesh,
+    tf,
+    xl_fun: Callable,
+    ul_fun: Callable,
+    dxl_fun: Optional[Callable],
+) -> QuadraticProgram:
     X, U = ocp.X, ocp.U
     lay = variable_layout(ocp, mesh)
     N, nx, nu = lay["N"], lay["nx"], lay["nu"]
