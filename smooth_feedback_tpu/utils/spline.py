@@ -71,6 +71,13 @@ def fit_spline(
     """Fit a cubic through knot poses ``gs`` at times ``ts``
     (role of smooth::fit_spline_cubic).  ``c2=True`` enforces continuous body
     acceleration at interior knots with natural end conditions."""
+    # Newton on the acceleration-jump residuals needs full-precision matmuls
+    # on TPU (bf16 default would stall the 1e-10 convergence check)
+    with jax.default_matmul_precision("highest"):
+        return _fit_spline_impl(G, ts, gs, c2, newton_iters)
+
+
+def _fit_spline_impl(G, ts, gs, c2, newton_iters):
     ts = np.asarray(ts, dtype=float)
     K = len(ts)
     if K < 2:
