@@ -56,6 +56,7 @@ def main():
         params=MPCParams(
             K=50,
             tf=5.0,
+            return_trajectories=False,  # only u is consumed in the loop
             qp=QPSolverParams(
                 scaling=True,
                 polish=False,
@@ -98,7 +99,9 @@ def main():
 
     best_dt = np.inf
     all_sts = []
-    for rep in range(3):
+    # best-of-5: the tunneled device occasionally delivers a 20x-slow run
+    # (host-side interference); best-of keeps the metric a device number
+    for rep in range(5):
         t0 = time.perf_counter()
         ws, sts = chain(ws, xs, 2.0 + rep)
         jax.block_until_ready(ws)

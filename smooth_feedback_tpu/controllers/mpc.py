@@ -42,6 +42,12 @@ class MPCParams:
     tf: float = 1.0  # horizon (seconds)
     warmstart: bool = True
     qp: QPSolverParams = dataclasses.field(default_factory=QPSolverParams)
+    # Reconstruct the predicted u/x trajectories at the mesh nodes (the
+    # reference outputs them through optional pointers, mpc.hpp:494-507).
+    # False skips the per-step group-op sweep and HBM traffic — measurable
+    # for large fleets where only ``u`` is consumed; ``u_traj``/``x_traj``
+    # are then None.
+    return_trajectories: bool = True
 
 
 class MPCWeights(NamedTuple):
@@ -64,8 +70,8 @@ class MPCStepResult(NamedTuple):
     u: jax.Array  # (u-params,) control to apply
     status: jax.Array  # QPSolutionStatus of the QP solve
     warmstart: QPSolution  # carry for the next step
-    u_traj: jax.Array  # (N, u-params) predicted input trajectory
-    x_traj: jax.Array  # (N+1, x-params) predicted state trajectory
+    u_traj: Optional[jax.Array]  # (N, u-params) predicted inputs (or None)
+    x_traj: Optional[jax.Array]  # (N+1, x-params) predicted states (or None)
 
 
 def make_mpc_step(
@@ -205,12 +211,16 @@ def make_mpc_step(
         )
         new_ws = jax.tree.map(lambda new, old: jnp.where(ok, new, old), sol, warmstart)
 
-        # predicted trajectories at the mesh nodes (mpc.hpp:494-507)
-        taus = jnp.asarray(np.asarray(mesh.all_nodes()), dtype)
-        du = sol.primal[uvar_B:].reshape(N, nu)
-        dx = sol.primal[:xvar_L].reshape(N + 1, nx)
-        u_traj = jax.vmap(lambda s, d: U.rplus(udes(t + tf * s), d))(taus[:N], du)
-        x_traj = jax.vmap(lambda s, d: X.rplus(xdes(t + tf * s), d))(taus, dx)
+        # predicted trajectories at the mesh nodes (mpc.hpp:494-507; the
+        # reference outputs them optionally and so do we — static flag)
+        if params.return_trajectories:
+            taus = jnp.asarray(np.asarray(mesh.all_nodes()), dtype)
+            du = sol.primal[uvar_B:].reshape(N, nu)
+            dx = sol.primal[:xvar_L].reshape(N + 1, nx)
+            u_traj = jax.vmap(lambda s, d: U.rplus(udes(t + tf * s), d))(taus[:N], du)
+            x_traj = jax.vmap(lambda s, d: X.rplus(xdes(t + tf * s), d))(taus, dx)
+        else:
+            u_traj = x_traj = None
 
         return MPCStepResult(
             u=u, status=sol.status, warmstart=new_ws, u_traj=u_traj, x_traj=x_traj

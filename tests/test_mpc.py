@@ -281,3 +281,33 @@ def test_fleet_shared_t_rejects_noncommutative():
     wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
     with pytest.raises(ValueError, match="commutative"):
         step.fleet_shared_t(wss, 0.0, xs)
+
+
+def test_return_trajectories_false():
+    """return_trajectories=False skips trajectory reconstruction (the
+    reference's optional trajectory outputs, mpc.hpp:494-507) and returns
+    the same control."""
+    import dataclasses
+
+    X, U = Rn(2), Rn(1)
+    f = lambda x, u: jnp.stack([x[1], u[0]])
+    xdes = lambda t: jnp.zeros(2)
+    udes = lambda t: jnp.zeros(1)
+    kw = dict(weights=MPCWeights(Q=jnp.eye(2), Qtf=jnp.eye(2), R=jnp.eye(1)))
+    p1 = MPCParams(K=8, tf=2.0)
+    p2 = dataclasses.replace(p1, return_trajectories=False)
+    s1, ws1 = make_mpc_step(X, U, f, xdes, udes, params=p1, **kw)
+    s2, ws2 = make_mpc_step(X, U, f, xdes, udes, params=p2, **kw)
+    x0 = jnp.array([0.7, -0.1])
+    r1 = jax.jit(s1)(ws1, 0.0, x0)
+    r2 = jax.jit(s2)(ws2, 0.0, x0)
+    np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r2.u), atol=1e-12)
+    assert r2.u_traj is None and r2.x_traj is None
+    assert r1.u_traj is not None and r1.x_traj.shape[0] == r1.u_traj.shape[0] + 1
+
+    # fleet path also supports the opt-out
+    xs = jnp.stack([x0, -x0])
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (2,) + a.shape), ws2)
+    rf = jax.jit(s2.fleet)(wss, 0.0, xs)
+    assert rf.u_traj is None
+    np.testing.assert_allclose(np.asarray(rf.u[0]), np.asarray(r2.u), atol=1e-12)
