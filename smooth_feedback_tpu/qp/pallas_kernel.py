@@ -417,6 +417,18 @@ def _admm_kernel_shared(
     dres_out[...] = dres
 
 
+def shared_kernel_fits(n: int, m: int) -> bool:
+    """Whether the fused shared-matrix kernel fits the 16MB scoped-VMEM
+    limit for this problem size.  Empirical: padded 256x256 problems fit at
+    any block size <= 256; padded 384x384 exceeds the limit regardless of
+    block (16.3M at G=256, 16.5M at G=128 — the footprint is dominated by
+    n_pad^2-scaled shared buffers, not the per-problem block).  Callers fall
+    back to the XLA shared-GEMM path above this size."""
+    n_pad = _round_up(max(n, 128), 128)
+    m_pad = _round_up(max(m, 128), 128)
+    return n_pad <= 256 and m_pad <= 256
+
+
 def admm_iterate_pallas_shared(
     prm: QPSolverParams,
     Minv,  # (n, n) shared
@@ -445,7 +457,18 @@ def admm_iterate_pallas_shared(
     m = ls.shape[1]
     n_pad = _round_up(max(n, 128), 128)
     m_pad = _round_up(max(m, 128), 128)
-    G = min(block, B)
+    # VMEM-fit the problem block: the kernel's scoped footprint is the shared
+    # matrices plus ~18 live f32 (G, n|m) work arrays (carries, olds, bounds,
+    # masks).  Measured: K=50 (n=m=256 padded) G=512 -> 17.9M, K=100 (384)
+    # G=256 -> 16.3M, against a 16M scoped-VMEM limit; target 15M with margin
+    # so longer horizons shrink the block instead of failing to compile.
+    static_bytes = 4 * (2 * n_pad * n_pad + m_pad * n_pad) + (1 << 20)
+    per_problem_bytes = 18 * 4 * (n_pad + m_pad)
+    g_fit = int((15 * 2**20 - static_bytes) // per_problem_bytes)
+    # round down to a multiple of 128 (the MXU-friendly row-block sizes);
+    # floor at 64 — below that the shared-GEMM path stops paying off anyway
+    g_fit = max(64, g_fit // 128 * 128)
+    G = min(block, B, g_fit)
     B_pad = _round_up(B, G)
 
     f32 = jnp.float32

@@ -440,46 +440,63 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         z0 = jnp.zeros((B, m), dt)
 
     if prm.backend == "pallas":
-        from .pallas_kernel import admm_iterate_pallas, admm_iterate_pallas_shared
-
-        interp = jax.default_backend() != "tpu"
-        if shared:
-            x, z, y, status, iters, pres, dres = admm_iterate_pallas_shared(
-                prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
-                l, u, x0, z0, y0, status0, interpret=interp,
-                block=prm.pallas_block,
-            )
-        else:
-            x, z, y, status, iters, pres, dres = admm_iterate_pallas(
-                prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
-                l, u, x0, z0, y0, status0, interpret=interp,
-            )
-        x = x.astype(dt)
-        z = z.astype(dt)
-        y = y.astype(dt)
-        pres = pres.astype(dt)
-        dres = dres.astype(dt)
-        return _finalize_solution(
-            prm, P, q, A, l, u, cB, sxB, syB, x, y, status, iters, pres, dres
+        from .pallas_kernel import (
+            admm_iterate_pallas,
+            admm_iterate_pallas_shared,
+            shared_kernel_fits,
         )
 
-    # XLA iteration path: broadcast shared matrices to the batch
+        interp = jax.default_backend() != "tpu"
+        use_pallas = shared_kernel_fits(n, m) if shared else True
+        # shared problems beyond the fused kernel's scoped-VMEM capacity
+        # (padded size > 256, e.g. K>=100 MPC horizons) fall through to the
+        # XLA shared-GEMM path below — same math, streamed from HBM
+        if use_pallas:
+            if shared:
+                x, z, y, status, iters, pres, dres = admm_iterate_pallas_shared(
+                    prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
+                    l, u, x0, z0, y0, status0, interpret=interp,
+                    block=prm.pallas_block,
+                )
+            else:
+                x, z, y, status, iters, pres, dres = admm_iterate_pallas(
+                    prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
+                    l, u, x0, z0, y0, status0, interpret=interp,
+                )
+            x = x.astype(dt)
+            z = z.astype(dt)
+            y = y.astype(dt)
+            pres = pres.astype(dt)
+            dres = dres.astype(dt)
+            return _finalize_solution(
+                prm, P, q, A, l, u, cB, sxB, syB, x, y, status, iters, pres, dres
+            )
+
+    # XLA iteration path.  Shared matrices stay un-broadcast: every product
+    # is then a real (B, k) @ (k, j) GEMM against the one shared matrix
+    # instead of B batched matvecs (and XLA never materializes B copies).
     if shared:
-        Minv = jnp.broadcast_to(Minv, (B, n, n))
-        Mred = jnp.broadcast_to(Mred, (B, n, n))
-        As = jnp.broadcast_to(As, (B, m, n))
+        AT_mv = lambda v: jnp.einsum("mn,bm->bn", As, v)  # A's v
+        A_mv = lambda xv: jnp.einsum("mn,bn->bm", As, xv)  # A_s x
+        Minv_mv = lambda r: jnp.einsum("nm,bm->bn", Minv, r)
+        Mred_mv = lambda t: jnp.einsum("nk,bk->bn", Mred, t)
         rho = jnp.broadcast_to(rho[None, :], (B, m))
         c, sx, sy = cB, sxB, syB
+    else:
+        AT_mv = lambda v: jnp.einsum("bmn,bm->bn", As, v)
+        A_mv = lambda xv: jnp.einsum("bmn,bn->bm", As, xv)
+        Minv_mv = lambda r: jnp.einsum("bnm,bm->bn", Minv, r)
+        Mred_mv = lambda t: jnp.einsum("bnk,bk->bn", Mred, t)
 
     def Msolve0(r):
-        return jnp.einsum("bnm,bm->bn", Minv, r)
+        return Minv_mv(r)
 
     n_refine = max(0, prm.kkt_refine_iters)
 
     def Msolve(r):
         t = Msolve0(r)
         for _ in range(n_refine):
-            resid = r - jnp.einsum("bnk,bk->bn", Mred, t)
+            resid = r - Mred_mv(t)
             t = t + Msolve0(resid)
         return t
 
@@ -493,9 +510,9 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         it, x, z, y, status, iters, pres, dres = state
         x_old, y_old = x, y
 
-        rhs = prm.sigma * x - qs + jnp.einsum("bmn,bm->bn", As, rho * z - y)
+        rhs = prm.sigma * x - qs + AT_mv(rho * z - y)
         xt = Msolve(rhs)
-        zt = jnp.einsum("bmn,bn->bm", As, xt)
+        zt = A_mv(xt)
 
         xn = alpha * xt + (1 - alpha) * x
         zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
