@@ -14,7 +14,12 @@ import jax
 
 jax.config.update("jax_enable_x64", True)  # SQP inner tolerances need f64
 # f64 runs on host: the 1e-6 NLP protocol needs f64, and TPU f64 emulation
-# faults on this program shape (TPU f32 throughput is covered by bench.py).
+# faults on this program shape.  TPU f32 note (measured): the same sweep at
+# tol 2e-4 converges on-device (99.8% Optimal over 640 problems) since the
+# solver-wide full-matmul-precision fix, but sweep throughput there is
+# lockstep-bound — the vmapped nested while_loops (SQP around a 4000-cap
+# ADMM) advance at the slowest member's pace, so batched *transcribed-QP*
+# workloads (bench.py) are the TPU throughput story, not batched SQP.
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
