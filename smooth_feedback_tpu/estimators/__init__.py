@@ -1,5 +1,27 @@
 """State estimators (L4 layer)."""
 
-from .ekf import EKF, EKFState, ekf_predict, ekf_reset, ekf_update
+from .ekf import (
+    EKF,
+    EKFState,
+    SqrtEKFState,
+    ekf_predict,
+    ekf_reset,
+    ekf_update,
+    ekf_update_iterated,
+    sqrt_ekf_predict,
+    sqrt_ekf_reset,
+    sqrt_ekf_update,
+)
 
-__all__ = ["EKF", "EKFState", "ekf_predict", "ekf_reset", "ekf_update"]
+__all__ = [
+    "EKF",
+    "EKFState",
+    "SqrtEKFState",
+    "ekf_predict",
+    "ekf_reset",
+    "ekf_update",
+    "ekf_update_iterated",
+    "sqrt_ekf_predict",
+    "sqrt_ekf_reset",
+    "sqrt_ekf_update",
+]

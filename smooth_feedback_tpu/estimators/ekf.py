@@ -144,6 +144,171 @@ def ekf_update(
     return EKFState(g=g_new, P=P_new)
 
 
+def ekf_update_iterated(
+    G: LieGroup,
+    h: Callable[[jax.Array], jax.Array],
+    state: EKFState,
+    y: jax.Array,
+    R: jax.Array,
+    Y: Optional[LieGroup] = None,
+    iters: int = 3,
+) -> EKFState:
+    """Iterated measurement update (Gauss-Newton relinearization).
+
+    The reference notes its EKF "reduces to IEKF in special cases"
+    (README.md:159-164); this is the general iterated form: each sweep
+    relinearizes ``h`` at the current iterate ``g0 (+) e_k`` and applies the
+    classical IEKF recursion ``e_{k+1} = K_k (r_k + H_k e_k)`` in the tangent
+    space at ``g0``.  ``iters=1`` reproduces :func:`ekf_update` exactly; more
+    iterations sharpen strongly nonlinear updates (bearing-only, far-range).
+    """
+    g0, P = state
+    dt = P.dtype
+    e = jnp.zeros((G.ndof,), dtype=dt)
+
+    with jax.default_matmul_precision("highest"):
+        Hk = None
+        K = None
+        for _ in range(max(1, iters)):
+            gk = G.rplus(g0, e)
+            hval = h(gk)
+            # d h(g0 (+) (e + w)) / dw at 0: the GN Jacobian in the tangent
+            # space AT g0 (not at gk) — this is what pairs with P
+            if Y is None:
+                Hk = jax.jacfwd(lambda w: h(G.rplus(g0, e + w)))(
+                    jnp.zeros((G.ndof,), dt)
+                )
+                rk = y - hval
+            else:
+                Hk = jax.jacfwd(
+                    lambda w: Y.rminus(h(G.rplus(g0, e + w)), hval)
+                )(jnp.zeros((G.ndof,), dt))
+                rk = Y.rminus(y, hval)
+            S = Hk @ P @ Hk.T + R
+            cf = jax.scipy.linalg.cho_factor(_sym(S))
+            K = jax.scipy.linalg.cho_solve(cf, Hk @ P).T
+            e = K @ (rk + Hk @ e)
+
+        g_new = G.rplus(g0, e)
+        IKH = jnp.eye(G.ndof, dtype=dt) - K @ Hk
+        P_new = _sym(IKH @ P @ IKH.T + K @ R @ K.T)
+    return EKFState(g=g_new, P=P_new)
+
+
+class SqrtEKFState(NamedTuple):
+    """Square-root filter state: ``P = S @ S.T`` with ``S`` lower-triangular.
+
+    TPU-native addition (no reference counterpart): f32 fleets running long
+    predict/update recursions accumulate covariance asymmetry/indefiniteness
+    even with Joseph updates; propagating the Cholesky factor keeps P
+    positive semidefinite by construction at ~f32-squared effective
+    precision."""
+
+    g: jax.Array  # (nparams,)
+    S: jax.Array  # (ndof, ndof) lower-triangular, P = S S'
+
+
+def sqrt_ekf_reset(G: LieGroup, g: jax.Array, P: Optional[jax.Array] = None) -> SqrtEKFState:
+    if P is None:
+        P = jnp.eye(G.ndof, dtype=jnp.result_type(g))
+    return SqrtEKFState(g=g, S=jnp.linalg.cholesky(_sym(jnp.asarray(P))))
+
+
+def _qr_lower(M):
+    """Lower-triangular T with ``T T' = M M'`` (thin QR of M')."""
+    r = jnp.linalg.qr(M.T, mode="r")
+    # sign-normalize so the factor is unique (non-negative diagonal)
+    s = jnp.sign(jnp.where(jnp.diag(r) == 0, 1.0, jnp.diag(r)))
+    return (r * s[:, None]).T
+
+
+def sqrt_ekf_predict(
+    G: LieGroup,
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    state: SqrtEKFState,
+    Q: jax.Array,
+    tau,
+    n_steps: int = 1,
+) -> SqrtEKFState:
+    """Square-root covariance propagation (array form): per Euler substep,
+    ``S <- qr-lower([Phi S, chol(h Q)])`` with ``Phi = I + h A`` and the same
+    IEKF linearization ``A = -ad(f) + d^r f`` as :func:`ekf_predict`.
+
+    Note this is the *discrete* propagation ``Phi P Phi' + hQ``; it differs
+    from :func:`ekf_predict`'s continuous-Euler ``P + h(AP + PA' + Q)`` at
+    O(h^2) per substep (both converge to the same limit as ``n_steps``
+    grows), and unlike it can never produce an indefinite covariance."""
+    g, S = state
+    dt = S.dtype
+    tau = jnp.asarray(tau, dt)
+    h = tau / n_steps
+    eye = jnp.eye(G.ndof, dtype=dt)
+
+    with jax.default_matmul_precision("highest"):
+        Qh = jnp.linalg.cholesky(_sym(jnp.asarray(Q, dt)) * h)
+
+        def body(carry, i):
+            g, S = carry
+            t = i * h
+            fv = f(t, g)
+            z = jnp.zeros((G.ndof,), dt)
+            J = jax.jacfwd(lambda w: f(t, G.rplus(g, w)))(z)
+            A = -G.ad(fv) + J
+            Phi = eye + h * A
+            S = _qr_lower(jnp.concatenate([Phi @ S, Qh], axis=1))
+            g = G.rplus(g, h * fv)
+            return (g, S), None
+
+        (g, S), _ = jax.lax.scan(body, (g, S), jnp.arange(n_steps))
+    return SqrtEKFState(g=g, S=S)
+
+
+def sqrt_ekf_update(
+    G: LieGroup,
+    h: Callable[[jax.Array], jax.Array],
+    state: SqrtEKFState,
+    y: jax.Array,
+    R: jax.Array,
+    Y: Optional[LieGroup] = None,
+) -> SqrtEKFState:
+    """Square-root measurement update via the QR array algorithm (Kailath):
+
+        [[Rh,  H S],        [[X,  0],
+         [0,   S  ]]   ->    [Y,  Z]]   (lower-triangularization by QR)
+
+    with ``X X' = H P H' + R`` (innovation factor), ``K = Y X^{-1}``, and
+    ``Z`` the posterior Cholesky factor — no explicit covariance is ever
+    formed, so the posterior is PSD by construction."""
+    g, S = state
+    dt = S.dtype
+    n = G.ndof
+
+    z = jnp.zeros((n,), dtype=dt)
+    hval = h(g)
+    if Y is None:
+        H = jax.jacfwd(lambda w: h(G.rplus(g, w)))(z)
+        innov = y - hval
+    else:
+        H = jax.jacfwd(lambda w: Y.rminus(h(G.rplus(g, w)), hval))(z)
+        innov = Y.rminus(y, hval)
+    m = H.shape[0]
+
+    with jax.default_matmul_precision("highest"):
+        Rh = jnp.linalg.cholesky(_sym(jnp.asarray(R, dt)))
+        pre = jnp.block([
+            [Rh, H @ S],
+            [jnp.zeros((n, m), dt), S],
+        ])
+        T = _qr_lower(pre)
+        X = T[:m, :m]
+        Yb = T[m:, :m]
+        Z = T[m:, m:]
+        # K = Yb X^{-1} via triangular solve
+        K = jax.scipy.linalg.solve_triangular(X, Yb.T, trans="T", lower=True).T
+        g_new = G.rplus(g, K @ innov)
+    return SqrtEKFState(g=g_new, S=Z)
+
+
 class EKF:
     """Thin stateful convenience wrapper mirroring the reference class API
     (ekf.hpp:27).  For batched/jitted use prefer the functional

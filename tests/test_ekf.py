@@ -138,3 +138,111 @@ def test_vmap_batch_of_filters():
         SO3, dyn, EKFState(g=g0[3], P=P0[3]), jnp.eye(3) * 0.01, 0.1, n_steps=2
     )
     np.testing.assert_allclose(new.g[3], single.g, atol=1e-12)
+
+
+# ----------------------------------------------------- square-root / iterated
+
+
+def test_sqrt_ekf_matches_standard():
+    """Square-root predict+update agrees with the covariance-form filter
+    (f64): same estimate, S S' == P."""
+    from smooth_feedback_tpu.estimators import (
+        sqrt_ekf_predict, sqrt_ekf_reset, sqrt_ekf_update,
+    )
+
+    G = SE2
+    rng = np.random.default_rng(3)
+    g0 = G.exp(jnp.asarray(rng.standard_normal(3) * 0.3))
+    P0 = np.eye(3) + 0.2 * np.diag(rng.random(3))
+    Q = 0.05 * np.eye(3)
+    R = 0.04 * np.eye(2)
+    f = lambda t, g: jnp.array([1.0, 0.0, 0.4])
+    h = lambda g: g[:2]  # position measurement
+    y = jnp.asarray([0.3, -0.1])
+
+    # sqrt predict uses the discrete array form Phi P Phi' + hQ, the
+    # covariance form the continuous-Euler P + h(AP+PA'+Q): they differ at
+    # O(h^2) per step, so compare in the fine-step limit
+    st = ekf_reset(G, g0, jnp.asarray(P0))
+    st = ekf_predict(G, f, st, jnp.asarray(Q), 0.5, n_steps=400)
+    st = ekf_update(G, h, st, y, jnp.asarray(R))
+
+    sq = sqrt_ekf_reset(G, g0, jnp.asarray(P0))
+    sq = sqrt_ekf_predict(G, f, sq, jnp.asarray(Q), 0.5, n_steps=400)
+    sq = sqrt_ekf_update(G, h, sq, y, jnp.asarray(R))
+
+    np.testing.assert_allclose(np.asarray(sq.g), np.asarray(st.g), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(sq.S @ sq.S.T), np.asarray(st.P), atol=2e-4
+    )
+
+    # update-only equivalence is exact (same linearization point)
+    stu = ekf_update(G, h, ekf_reset(G, g0, jnp.asarray(P0)), y, jnp.asarray(R))
+    squ = sqrt_ekf_update(G, h, sqrt_ekf_reset(G, g0, jnp.asarray(P0)), y, jnp.asarray(R))
+    np.testing.assert_allclose(np.asarray(squ.g), np.asarray(stu.g), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(squ.S @ squ.S.T), np.asarray(stu.P), atol=1e-12
+    )
+
+
+def test_sqrt_ekf_f32_long_run_psd():
+    """1000 f32 predict/update cycles keep the factor finite (P = S S' is
+    PSD by construction — the TPU fleet motivation for the sqrt form)."""
+    from smooth_feedback_tpu.estimators import (
+        SqrtEKFState, sqrt_ekf_predict, sqrt_ekf_reset, sqrt_ekf_update,
+    )
+
+    G = SE2
+    f32 = jnp.float32
+    f = lambda t, g: jnp.array([1.0, 0.0, 0.4], f32)
+    h = lambda g: g[:2]
+    Q = (0.05 * jnp.eye(3)).astype(f32)
+    R = (0.04 * jnp.eye(2)).astype(f32)
+
+    def cycle(st, y):
+        st = sqrt_ekf_predict(G, f, st, Q, 0.05, n_steps=1)
+        st = sqrt_ekf_update(G, h, st, y, R)
+        return st, jnp.diag(st.S)
+
+    st0 = sqrt_ekf_reset(G, G.identity().astype(f32), jnp.eye(3, dtype=f32))
+    ys = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (1000, 2), f32)
+    st, diags = jax.lax.scan(cycle, st0, ys)
+    assert np.isfinite(np.asarray(st.S)).all()
+    # the factor's diagonal stays strictly positive: P strictly PD throughout
+    assert float(jnp.min(diags)) > 0.0
+
+
+def test_iterated_update_one_iter_matches_plain():
+    from smooth_feedback_tpu.estimators import ekf_update_iterated
+
+    G = SO3
+    g0 = G.exp(jnp.asarray([0.2, -0.1, 0.3]))
+    P = 0.3 * jnp.eye(3)
+    R = 0.01 * jnp.eye(3)
+    h = lambda g: G.log(g)
+    y = jnp.asarray([0.25, -0.05, 0.2])
+
+    st = EKFState(g=g0, P=P)
+    a = ekf_update(G, h, st, y, R)
+    b = ekf_update_iterated(G, h, st, y, R, iters=1)
+    np.testing.assert_allclose(np.asarray(b.g), np.asarray(a.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.P), np.asarray(a.P), atol=1e-12)
+
+
+def test_iterated_update_improves_nonlinear():
+    """Strongly nonlinear (range) measurement: iteration reduces the
+    post-update measurement residual vs the single-sweep EKF."""
+    from smooth_feedback_tpu.estimators import ekf_update_iterated
+
+    G = Rn(1)
+    h = lambda g: jnp.exp(g)  # strongly convex measurement
+    y = jnp.asarray([float(np.exp(2.0))])
+    st = EKFState(g=jnp.zeros(1), P=10.0 * jnp.eye(1))
+    R = 1e-4 * jnp.eye(1)
+
+    a = ekf_update(G, h, st, y, R)  # single sweep overshoots badly
+    b = ekf_update_iterated(G, h, st, y, R, iters=8)
+    res_a = float(jnp.abs(h(a.g) - y)[0])
+    res_b = float(jnp.abs(h(b.g) - y)[0])
+    assert res_b <= res_a * 1e-2, (res_a, res_b)
+    np.testing.assert_allclose(float(b.g[0]), 2.0, atol=1e-2)
