@@ -29,6 +29,9 @@ import numpy as np
 B = 8192  # fleet size (throughput-optimal on v5e: 1.05M solves/s at 7.8 ms/step;
 #           B=2048 -> 772k at 2.7 ms, B=1024 -> 481k at 2.1 ms for latency-bound use)
 NSCAN = 20  # MPC steps chained per device dispatch
+K = 50  # horizon; override: python bench.py [K] [B].  K=100 exceeds the fused
+#         kernel's VMEM and exercises the XLA shared-GEMM fallback
+#         (measured: 69.5k solves/s at B=4096)
 
 
 def main():
@@ -54,7 +57,7 @@ def main():
             R=0.1 * jnp.eye(1, dtype=dtype),
         ),
         params=MPCParams(
-            K=50,
+            K=K,
             tf=5.0,
             return_trajectories=False,  # only u is consumed in the loop
             qp=QPSolverParams(
@@ -65,7 +68,8 @@ def main():
                 # resolvable in f32 (measured: 100.00% Optimal in <=25 iters)
                 rho=2.0,
                 rho_eq_scale=15.0,
-                max_iter=100,
+                # longer horizons need a deeper active-set tail
+                max_iter=100 if K <= 50 else 200,
                 stop_check_iter=10,  # checks are cheap GEMMs in the shared kernel
                 backend="pallas",
                 pallas_block=256,
@@ -116,7 +120,7 @@ def main():
         # solves/sec number (VERDICT r1 weak #2)
         value = 0.0
     out = {
-        "metric": "di_mpc_k50_qp_solves_per_sec",
+        "metric": f"di_mpc_k{K}_qp_solves_per_sec",
         "value": round(float(value), 1),
         "unit": "solves/sec",
         "vs_baseline": round(float(value) / 10000.0, 3),
@@ -131,4 +135,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        K = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        B = int(sys.argv[2])
     main()
