@@ -34,6 +34,9 @@ class _SfQpOptions(ctypes.Structure):
         ("eps_dual_inf", ctypes.c_double),
         ("max_iter", ctypes.c_int),
         ("stop_check_iter", ctypes.c_int),
+        ("polish", ctypes.c_int),
+        ("polish_iter", ctypes.c_int),
+        ("delta", ctypes.c_double),
     ]
 
 
@@ -97,8 +100,8 @@ def solve_qp_native(
     """Solve one dense QP with the embedded C++ solver.
 
     ``options`` override fields of the default parameter set (same names and
-    semantics as :class:`smooth_feedback_tpu.qp.QPSolverParams`, minus the
-    polish options which the embedded solver does not implement).
+    semantics as :class:`smooth_feedback_tpu.qp.QPSolverParams`, including
+    the active-set polish, which mirrors the JAX f64 Schur path).
     """
     lib = _load()
     P = np.ascontiguousarray(P, np.float64)
@@ -113,7 +116,13 @@ def solve_qp_native(
     for k, v in options.items():
         if not hasattr(opts, k):
             raise ValueError(f"unknown option {k!r}")
-        setattr(opts, k, int(v) if k in ("scaling", "max_iter", "stop_check_iter") else float(v))
+        setattr(
+            opts,
+            k,
+            int(v)
+            if k in ("scaling", "max_iter", "stop_check_iter", "polish", "polish_iter")
+            else float(v),
+        )
 
     primal = np.zeros(n)
     dual = np.zeros(m)

@@ -101,6 +101,9 @@ struct SfQpOptions {
   double eps_dual_inf;    // 1e-4
   int max_iter;           // 4000
   int stop_check_iter;    // 25
+  int polish;             // 1   (active-set polish of Optimal solutions)
+  int polish_iter;        // 5   (iterative-refinement sweeps)
+  double delta;           // 1e-6 (polish regularization)
 };
 
 struct SfQpResult {
@@ -122,6 +125,9 @@ void sf_qp_default_options(SfQpOptions* o) {
   o->eps_dual_inf = 1e-4;
   o->max_iter = 4000;
   o->stop_check_iter = 25;
+  o->polish = 1;
+  o->polish_iter = 5;
+  o->delta = 1e-6;
 }
 
 int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
@@ -318,6 +324,80 @@ int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
   }
 
   if (status < 0) status = 4;  // max iterations
+
+  // ------------------------------------------------------------------ polish
+  // Mirrors the JAX f64 path (qp/solver.py::_polish Schur branch): active-set
+  // detection on the scaled dual, reduced system embedded in the Schur
+  // complement S = Ps + delta I + (1/delta) sum_active a a', polish_iter
+  // refinement sweeps against the unperturbed system.
+  if (o.polish && status == 0) {
+    const double eps100 = 100.0 * std::numeric_limits<double>::epsilon();
+    const double delta = o.delta;
+    std::vector<char> low_act(m), up_act(m), act(m);
+    for (int i = 0; i < m; ++i) {
+      low_act[i] = (w.y[i] < -eps100) && std::isfinite(l[i]);
+      up_act[i] = (w.y[i] > eps100) && std::isfinite(u[i]);
+      act[i] = low_act[i] || up_act[i];
+    }
+    std::vector<double> S((std::size_t)n * n);
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j)
+        S[(std::size_t)i * n + j] = w.Ps[(std::size_t)i * n + j] + (i == j ? delta : 0.0);
+    for (int k = 0; k < m; ++k) {
+      if (!act[k]) continue;
+      const double* ak = w.As.data() + (std::size_t)k * n;
+      for (int i = 0; i < n; ++i) {
+        const double aki = ak[i] / delta;
+        for (int j = 0; j < n; ++j) S[(std::size_t)i * n + j] += aki * ak[j];
+      }
+    }
+    std::vector<double> Lp = S;
+    bool pol_ok = cholesky(Lp.data(), n);
+    if (pol_ok) {
+      std::vector<double> x_t(n, 0.0), nu_t(m, 0.0), r_x(n), r_nu(m), rhs2(n);
+      for (int sweep = 0; sweep < o.polish_iter; ++sweep) {
+        // residual of the unperturbed system H = [[Ps, Aa'], [Aa, 0]]
+        matvec(w.Ps.data(), x_t.data(), r_x.data(), n, n);
+        for (int j = 0; j < n; ++j) r_x[j] = -w.qs[j] - r_x[j];
+        for (int k = 0; k < m; ++k) {
+          if (!act[k]) { r_nu[k] = 0.0; continue; }
+          const double* ak = w.As.data() + (std::size_t)k * n;
+          const double nk = nu_t[k];
+          double ax = 0;
+          for (int j = 0; j < n; ++j) { r_x[j] -= ak[j] * nk; ax += ak[j] * x_t[j]; }
+          r_nu[k] = (low_act[k] ? w.ls[k] : w.us[k]) - ax;
+        }
+        // Schur solve: rhs = r_x + Aa' (r_nu / delta); dnu = (Aa xs - r_nu)/delta
+        for (int j = 0; j < n; ++j) rhs2[j] = r_x[j];
+        for (int k = 0; k < m; ++k) {
+          if (!act[k]) continue;
+          const double* ak = w.As.data() + (std::size_t)k * n;
+          const double rk = r_nu[k] / delta;
+          for (int j = 0; j < n; ++j) rhs2[j] += ak[j] * rk;
+        }
+        chol_solve(Lp.data(), rhs2.data(), n);
+        for (int k = 0; k < m; ++k) {
+          if (!act[k]) continue;
+          const double* ak = w.As.data() + (std::size_t)k * n;
+          double axs = 0;
+          for (int j = 0; j < n; ++j) axs += ak[j] * rhs2[j];
+          nu_t[k] += (axs - r_nu[k]) / delta;
+        }
+        for (int j = 0; j < n; ++j) x_t[j] += rhs2[j];
+      }
+      bool fin = true;
+      for (int j = 0; j < n && fin; ++j) fin = std::isfinite(x_t[j]);
+      for (int k = 0; k < m && fin; ++k) fin = std::isfinite(nu_t[k]);
+      if (fin) {
+        w.x = x_t;
+        for (int k = 0; k < m; ++k)
+          if (act[k]) w.y[k] = nu_t[k];
+      } else {
+        pol_ok = false;
+      }
+    }
+    if (!pol_ok) status = 1;  // PolishFailed
+  }
 
   // unscale + outputs
   double obj = 0;

@@ -50,6 +50,7 @@ def test_native_vs_jax_random():
             eps_abs=1e-6,
             eps_rel=1e-6,
             max_iter=20000,
+            polish=0,  # matches prm above (polish parity has its own test)
         )
         assert int(jsol.status) == nres.status
         if nres.status == QPSolutionStatus.Optimal:
@@ -77,3 +78,41 @@ def test_native_warmstart():
     warm = solve_qp_native(*args, warmstart=(cold.primal, cold.dual))
     assert warm.status == QPSolutionStatus.Optimal
     assert warm.iters <= cold.iters
+
+
+def test_native_polish_parity():
+    """Polish ON in both solvers: polished primals/duals agree to near
+    machine precision (both drive the active-set KKT residual to ~0)."""
+    prm = QPSolverParams(eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=True)
+    keys = jax.random.split(jax.random.PRNGKey(31), 6)
+    for k in keys:
+        qp = random_qp(k, n=6, m=8)
+        jsol = solve_qp(qp, prm)
+        nres = solve_qp_native(
+            *[np.asarray(a) for a in qp],
+            eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=1,
+        )
+        assert int(jsol.status) == nres.status
+        if nres.status == QPSolutionStatus.Optimal:
+            np.testing.assert_allclose(jsol.primal, nres.primal, atol=1e-9)
+            np.testing.assert_allclose(jsol.dual, nres.dual, atol=1e-9)
+
+
+def test_native_polish_kkt():
+    """The native polished solution satisfies stationarity and
+    complementarity to machine precision (the JAX suite asserts the same for
+    the XLA path, test_polish_accuracy)."""
+    for seed in (5, 17):
+        qp = random_qp(jax.random.PRNGKey(seed), n=8, m=10)
+        P, q, A, l, u = [np.asarray(a, np.float64) for a in qp]
+        res = solve_qp_native(P, q, A, l, u, eps_abs=1e-6, eps_rel=1e-6,
+                              max_iter=20000, polish=1)
+        assert res.status == QPSolutionStatus.Optimal
+        x, y = res.primal, res.dual
+        stat = np.abs(P @ x + q + A.T @ y).max()
+        Ax = A @ x
+        pfeas = np.maximum(l - Ax, Ax - u).max()
+        comp = np.abs(np.where(y > 0, Ax - u, Ax - l) * y).max()
+        assert stat <= 1e-11, stat
+        assert pfeas <= 1e-11, pfeas
+        assert comp <= 1e-11, comp
