@@ -397,3 +397,44 @@ def test_solve_qp_timed_iters_accumulate():
     assert int(sol.status) == QPSolutionStatus.Optimal
     np.testing.assert_allclose(sol.primal, ref.primal, atol=TOL)
     assert int(sol.iters) >= int(ref.iters) // 2  # sane accumulation
+
+
+def test_pallas_shared_vmem_gate_falls_back():
+    """Shared problems whose padded size exceeds the fused kernel's scoped
+    VMEM (> 256x256) must route to the XLA shared-GEMM path and still solve
+    (the K=100 MPC horizon case)."""
+    from smooth_feedback_tpu.qp import qp_factorize
+    from smooth_feedback_tpu.qp.pallas_kernel import shared_kernel_fits
+
+    assert shared_kernel_fits(152, 203)  # K=50 fits
+    assert not shared_kernel_fits(302, 302)  # K=100 does not
+
+    # one shared 270-var template, batch of 4 differing only in q/l/u
+    n, m = 270, 40
+    key = jax.random.PRNGKey(9)
+    M = jax.random.normal(key, (n, n)) / np.sqrt(n)
+    P = M @ M.T + jnp.eye(n)
+    A = jax.random.normal(jax.random.PRNGKey(10), (m, n)) / np.sqrt(n)
+    qs = jax.random.normal(jax.random.PRNGKey(11), (4, n))
+    centers = jnp.einsum("mn,bn->bm", A, jax.random.normal(jax.random.PRNGKey(12), (4, n)))
+    qp_b = QuadraticProgram(
+        P=jnp.broadcast_to(P[None], (4, n, n)),
+        q=qs,
+        A=jnp.broadcast_to(A[None], (4, m, n)),
+        l=centers - 1.0,
+        u=centers + 1.0,
+    )
+    prm_x = QPSolverParams(max_iter=2000, polish=False)
+    prm_p = QPSolverParams(max_iter=2000, polish=False, backend="pallas")
+    fac = qp_factorize(
+        QuadraticProgram(P=P, q=qs[0], A=A, l=qp_b.l[0], u=qp_b.u[0])._replace(
+            P=P[None], q=qs[:1], A=A[None], l=qp_b.l[:1], u=qp_b.u[:1]
+        ),
+        prm_x,
+    )
+    fac1 = jax.tree.map(lambda a: a[0], fac)  # shared (batch-free) factors
+    sx = solve_qp_batch(qp_b, prm_x, None, fac1)
+    sp = solve_qp_batch(qp_b, prm_p, None, fac1)  # gated -> same XLA path
+    np.testing.assert_allclose(np.asarray(sp.primal), np.asarray(sx.primal), atol=1e-12)
+    assert np.array_equal(np.asarray(sp.status), np.asarray(sx.status))
+    assert np.all(np.asarray(sx.status) == QPSolutionStatus.Optimal)
