@@ -161,10 +161,13 @@ def _admm_kernel(
             jnp.logical_and(norm_inf(Pdx) <= tol, qdx <= tol), row_ok
         )
 
-        # divergence detection (semantics match the XLA path)
-        diverged = jnp.logical_not(
-            jnp.logical_and(jnp.all(jnp.isfinite(x)), jnp.all(jnp.isfinite(y)))
-        )
+        # divergence detection (semantics match the XLA path).  f32-mask
+        # formulation: mosaic's bool-reduction lowering consults the global
+        # x64 flag and emits f64 scalars under jax_enable_x64 (NaN < inf is
+        # False, so |v| < inf is exactly isfinite for floats)
+        x_fin = jnp.min((jnp.abs(x) < inf).astype(f32))
+        y_fin = jnp.min((jnp.abs(y) < inf).astype(f32))
+        diverged = jnp.minimum(x_fin, y_fin) < 0.5
         st = jnp.where(
             diverged,
             _UNKNOWN,
@@ -195,7 +198,12 @@ def _admm_kernel(
         zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
         yn = y + rho * (alpha * zt + (1 - alpha) * z - zn)
 
-        do_check = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
+        # explicit int32: under jax_enable_x64 the python-int modulus would
+        # promote to int64 mid-kernel-trace, which mosaic cannot lower (and
+        # the attempted conversion recurses to a RecursionError)
+        do_check = lax.rem(it, jnp.int32(prm.stop_check_iter)) == jnp.int32(
+            1 % prm.stop_check_iter
+        )
         status, pres, dres = lax.cond(
             do_check,
             lambda: check(xn, zn, yn, x_old, y_old),
@@ -343,12 +351,12 @@ def _admm_kernel_shared(
             jnp.logical_and(rownorm(Pdx) <= tol, qdx <= tol), row_ok
         )
 
-        diverged = jnp.logical_not(
-            jnp.logical_and(
-                jnp.all(jnp.isfinite(x), axis=1, keepdims=True),
-                jnp.all(jnp.isfinite(y), axis=1, keepdims=True),
-            )
-        )
+        # f32-mask formulation of all(isfinite(.)) per row — see the
+        # per-problem kernel's divergence note (mosaic bool reductions
+        # go f64 under jax_enable_x64)
+        x_fin = jnp.min((jnp.abs(x) < inf).astype(f32), axis=1, keepdims=True)
+        y_fin = jnp.min((jnp.abs(y) < inf).astype(f32), axis=1, keepdims=True)
+        diverged = jnp.minimum(x_fin, y_fin) < 0.5
         st = jnp.where(
             diverged,
             _UNKNOWN,
@@ -379,7 +387,12 @@ def _admm_kernel_shared(
         zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
         yn = y + rho * (alpha * zt + (1 - alpha) * z - zn)
 
-        do_check = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
+        # explicit int32: under jax_enable_x64 the python-int modulus would
+        # promote to int64 mid-kernel-trace, which mosaic cannot lower (and
+        # the attempted conversion recurses to a RecursionError)
+        do_check = lax.rem(it, jnp.int32(prm.stop_check_iter)) == jnp.int32(
+            1 % prm.stop_check_iter
+        )
         new_status, pres_n, dres_n = lax.cond(
             do_check,
             lambda: check(xn, zn, yn, x_old, y_old),
@@ -550,14 +563,18 @@ def admm_iterate_pallas_shared(
     )
 
     kernel = functools.partial(_admm_kernel_shared, prm, G)
-    x, z, y, status, iters, pres, dres = pl.pallas_call(
-        kernel,
-        grid=(B_pad // G,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
+    # trace the (f32-only) kernel under x32 semantics even when the caller
+    # has jax_enable_x64 on: weak Python constants would otherwise become
+    # f64/i64 mid-kernel, which mosaic cannot lower
+    with jax.enable_x64(False):
+        x, z, y, status, iters, pres, dres = pl.pallas_call(
+            kernel,
+            grid=(B_pad // G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
 
     return (
         x[:B, :n],
@@ -664,14 +681,17 @@ def admm_iterate_pallas(
     )
 
     kernel = functools.partial(_admm_kernel, prm, n_pad, m_pad)
-    x, z, y, status, iters, pres, dres = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
+    # x32 tracing semantics regardless of the caller's jax_enable_x64 (see
+    # the shared-kernel call above)
+    with jax.enable_x64(False):
+        x, z, y, status, iters, pres, dres = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
 
     return (
         x[:, 0, :n],
