@@ -186,3 +186,26 @@ def test_warmstart_transfer_across_meshes():
     # warmstart makes it fast (the exact-Hessian convexification shift costs
     # a few extra iterations when constrained directions carry curvature)
     assert int(sol2.iters) <= 30
+
+
+def test_solve_ocp_one_call():
+    """The one-call Lie-group pipeline (flatten -> refine-solve -> unflatten)
+    through the public `solve_ocp` wrapper (examples/ocp_se2_nlp.cpp:31-91)."""
+    from smooth_feedback_tpu.ocp import solve_ocp
+
+    ocp, _ = _se2_ocp()
+    xl = lambda t: ocp.X.identity()
+    ul = lambda t: jnp.full(2, 0.01)
+    params = SolveOCPParams(
+        target_err=1e-3,  # one refinement level: keeps CI compile cost low
+        max_refine_iter=2,
+        tf_guess=5.0,
+        sqp=SQPParams(max_iter=150, tol=1e-7),
+    )
+    sol, mesh, info = solve_ocp(ocp, xl, ul, Mesh(), params)
+    assert info.status == NLPSolutionStatus.Optimal
+    # solution is on the GROUP: x(0) is the identity pose with velocity (1,0)
+    x0 = sol.x(jnp.asarray(0.0))
+    np.testing.assert_allclose(x0[:4], np.asarray(ocp.X.identity()[:4]), atol=1e-4)
+    np.testing.assert_allclose(x0[4:], [1.0, 0.0], atol=1e-4)
+    assert float(sol.tf) == pytest.approx(5.0, abs=1e-6)
