@@ -28,7 +28,9 @@ import numpy as np
 
 B = 8192  # fleet size (throughput-optimal on v5e: 1.05M solves/s at 7.8 ms/step;
 #           B=2048 -> 772k at 2.7 ms, B=1024 -> 481k at 2.1 ms for latency-bound use)
-NSCAN = 20  # MPC steps chained per device dispatch
+NSCAN = 100  # MPC steps chained per device dispatch (tunnel dispatch is
+#              ~30 ms, so short chains are dispatch-bound: 20 -> 7.7 ms/step,
+#              50 -> 7.0, 100 -> 6.7; flat beyond)
 K = 50  # horizon; override: python bench.py [K] [B].  K=100 exceeds the fused
 #         kernel's VMEM and exercises the XLA shared-GEMM fallback
 #         (measured: 69.5k solves/s at B=4096)
