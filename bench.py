@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 8192  # fleet size (throughput-optimal on v5e: 1.05M solves/s at 7.8 ms/step;
-#           B=2048 -> 772k at 2.7 ms, B=1024 -> 481k at 2.1 ms for latency-bound use)
+B = 8192  # fleet size (throughput-optimal on v5e: 1.22M solves/s at 6.7 ms/step;
+#           B=2048 -> ~800k, B=1024 -> ~500k for latency-bound use)
 NSCAN = 100  # MPC steps chained per device dispatch (tunnel dispatch is
 #              ~30 ms, so short chains are dispatch-bound: 20 -> 7.7 ms/step,
 #              50 -> 7.0, 100 -> 6.7; flat beyond)
