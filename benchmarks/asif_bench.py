@@ -133,7 +133,7 @@ def main():
     for rep in range(3):
         t0 = time.perf_counter()
         (xs, mws, aws), hmins = chain(xs, mws, aws, (2 + rep) * NSCAN * DT)
-        jax.block_until_ready(xs)
+        _ = np.asarray(hmins[-1])  # host-transfer barrier
         best = min(best, (time.perf_counter() - t0) / NSCAN)
         all_h.append(np.asarray(hmins))
 

@@ -33,11 +33,11 @@ def bench_group(G, name, B=4096, reps=20):
 
     y = jax.vmap(meas)(states.g)
     s = step(states, y)
-    jax.block_until_ready(s)
-    t0 = time.perf_counter()
+    np.asarray(s.g[0])  # host-transfer barrier (block_until_ready can
+    t0 = time.perf_counter()  # return early on some axon programs)
     for _ in range(reps):
         s = step(s, y)
-    jax.block_until_ready(s)
+    np.asarray(s.g[0])
     rate = B * reps / (time.perf_counter() - t0)
     print(f"{name}: {rate:,.0f} predict+update/sec (B={B})")
 
