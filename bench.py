@@ -9,8 +9,10 @@ realistic warmstarted closed-loop regime.
 The metric is gated on convergence: only fully Optimal steps count.  The
 closed loop is chained on-device with ``lax.scan`` (NSCAN MPC steps per
 dispatch) so the tunnel/dispatch latency of this host does not pollute the
-per-solve number; every solve still runs the full transcribe -> ADMM ->
-finalize pipeline with warmstart carry.
+per-solve number; every solve runs the full transcribe -> ADMM -> finalize
+pipeline with warmstart carry, and the solved ``u`` drives the plant forward
+(``x + dt f(x, u)``) so successive QPs see genuinely evolved states —
+matching the reference's timing loop (mpc_doubleintegrator.cpp:69-91).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N,
@@ -88,19 +90,28 @@ def main():
     xs = 0.5 * jax.random.normal(key, (B, 2), dtype)
     wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
 
+    DT = 0.05  # plant step = clock step
+
     @jax.jit
     def chain(ws, xs, t0):
-        """NSCAN closed-loop MPC steps on a common clock (LTI fleet)."""
+        """NSCAN TRUE closed-loop MPC steps on a common clock (LTI fleet):
+        each solve's u drives the double-integrator plant forward one Euler
+        step, so successive QPs see evolved states, not just a shifted
+        reference (cf. the reference's timing loop,
+        examples/mpc_doubleintegrator.cpp:69-91)."""
 
-        def body(ws, i):
-            r = step.fleet_shared_t(ws, t0 + 0.05 * i.astype(dtype), xs)
-            return r.warmstart, r.status
+        def body(carry, i):
+            ws, xs = carry
+            r = step.fleet_shared_t(ws, t0 + DT * i.astype(dtype), xs)
+            xs = xs + DT * jnp.stack([xs[:, 1], r.u[:, 0]], axis=1)  # x+dt f(x,u)
+            return (r.warmstart, xs), r.status
 
-        return jax.lax.scan(body, ws, jnp.arange(NSCAN))
+        return jax.lax.scan(body, (ws, xs), jnp.arange(NSCAN))
 
-    ws, sts = chain(wss, xs, 0.0)  # compile + cold solves
+    span = NSCAN * DT  # chain duration; keep the fleet clock monotone
+    (ws, xs), sts = chain(wss, xs, 0.0)  # compile + cold solves
     jax.block_until_ready(ws)
-    ws, sts = chain(ws, xs, 1.0)  # enter warmstarted regime
+    (ws, xs), sts = chain(ws, xs, span)  # enter warmstarted regime
     jax.block_until_ready(ws)
 
     best_dt = np.inf
@@ -109,7 +120,7 @@ def main():
     # (host-side interference); best-of keeps the metric a device number
     for rep in range(5):
         t0 = time.perf_counter()
-        ws, sts = chain(ws, xs, 2.0 + rep)
+        (ws, xs), sts = chain(ws, xs, (2 + rep) * span)
         # host-transfer barrier (tiny slice): jax.block_until_ready has been
         # observed returning early on some axon programs; an actual device ->
         # host read cannot complete before the computation does

@@ -8,8 +8,9 @@ transcribe+solve, ASIF backup-trajectory integration + barrier QP, dynamics
 step — for a batch of B vehicles with randomized initial states, and reports
 combined MPC+ASIF steps/sec (one step = both controllers for one vehicle).
 
-Safety is asserted, not just timed: the run fails if any vehicle's barrier
-h(x) dips below 0 (obstacle clearance) anywhere in the horizon.
+Safety is asserted, not just timed: the run exits nonzero if any vehicle's
+barrier h(x) dips below 0 (obstacle clearance) at any post-step state of the
+timed closed-loop sweeps.
 
 Usage: python benchmarks/asif_bench.py [B]   (default B=256; real TPU)
 """
@@ -150,6 +151,9 @@ def main():
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(out))
+    if not h_min > 0.0:
+        print(f"SAFETY VIOLATION: min barrier {h_min} <= 0", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ from smooth_feedback_tpu.groups import Rn
 from smooth_feedback_tpu.utils.bounds import ManifoldBounds
 
 
-def main():
+def main(steps: int = 500):
     X, U = Rn(2), Rn(1)  # (p, v)
     f = lambda x, u: jnp.stack([x[1], u[0]])
     h = lambda t, x: jnp.stack([x[0] + 0.5 * x[1]])  # lookahead barrier
@@ -42,7 +42,7 @@ def main():
             x = x + dt * f(x, res.u)
             return (x, res.warmstart), (x, res.u)
 
-        return jax.lax.scan(body, (x0, ws), jnp.arange(500))
+        return jax.lax.scan(body, (x0, ws), jnp.arange(steps))
 
     (_, _), (xs, us) = rollout(jnp.array([2.0, 0.0]), ws0)
     xs = np.asarray(xs)

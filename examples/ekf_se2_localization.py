@@ -10,7 +10,7 @@ from smooth_feedback_tpu.estimators import ekf_predict, ekf_reset, ekf_update
 from smooth_feedback_tpu.groups import SE2
 
 
-def main():
+def main(steps: int = 200):
     key = jax.random.PRNGKey(0)
     landmarks = jnp.array([[3.0, 1.0], [-2.0, 4.0], [1.0, -3.0], [4.0, -1.0]])
 
@@ -41,13 +41,13 @@ def main():
             err = SE2.rminus(st.g, tp)
             return (st, tp, k), jnp.linalg.norm(err)
 
-        return jax.lax.scan(body, (state, true_pose, key), jnp.arange(200))
+        return jax.lax.scan(body, (state, true_pose, key), jnp.arange(steps))
 
     (state, true_pose, _), errs = loop(state, true_pose, key)
     errs = np.asarray(errs)
     print(f"pose error: initial {errs[0]:.3f} -> final {errs[-1]:.4f}")
     print(f"final covariance trace: {float(jnp.trace(state.P)):.5f}")
-    assert errs[-1] < 0.1
+    assert errs[-1] < (0.1 if steps >= 200 else errs[0])
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def f(x, u):
     )
 
 
-def main():
+def main(steps: int = 800, K_mpc: int = 30, K_asif: int = 50):
     vdes = jnp.array([1.0, 0.0, 0.4])
     base = jnp.concatenate(
         [jnp.array([2.5, 0.0]), jnp.array([jnp.cos(jnp.pi / 2), jnp.sin(jnp.pi / 2)])]
@@ -53,7 +53,7 @@ def main():
     mpc_step, mpc_ws = make_mpc_step(
         X, U, f, xdes, udes, dxdes=dxdes,
         weights=MPCWeights(Q=jnp.eye(6), Qtf=0.1 * jnp.eye(6), R=jnp.eye(2)),
-        params=MPCParams(K=30, tf=5.0, qp=QPSolverParams(polish=False)),
+        params=MPCParams(K=K_mpc, tf=5.0, qp=QPSolverParams(polish=False)),
         cr=lambda x, u: u,
         crl=jnp.array([-0.5, -0.5]),
         cru=jnp.array([0.5, 0.5]),
@@ -72,7 +72,7 @@ def main():
         X, U, f, h, bu,
         params=ASIFilterParams(
             T=2.5,
-            asif=ASIFtoQPParams(K=50, dt=0.05, alpha=1.0, relax_cost=100.0),
+            asif=ASIFtoQPParams(K=K_asif, dt=0.05, alpha=1.0, relax_cost=100.0),
             qp=QPSolverParams(polish=False),
         ),
         W_u=jnp.array([20.0, 1.0]),
@@ -94,17 +94,17 @@ def main():
             x = X.rplus(x, dt * f(x, a.u))
             return (x, m.warmstart, a.warmstart), (x, m.u, a.u, h(t, x)[0])
 
-        return jax.lax.scan(body, (x0, mws, aws), jnp.arange(800))
+        return jax.lax.scan(body, (x0, mws, aws), jnp.arange(steps))
 
     x0 = X.identity()
     t0 = time.perf_counter()
     (_, _, _), (xs, u_mpc, u_asif, hs) = rollout(x0, mpc_ws, asif_ws)
     jax.block_until_ready(xs)
-    print(f"wall: {time.perf_counter() - t0:.1f}s for 800 MPC+ASIF steps")
+    print(f"wall: {time.perf_counter() - t0:.1f}s for {steps} MPC+ASIF steps")
     print(f"min barrier value: {float(jnp.min(hs)):+.3f} (safe iff > 0)")
     diff = np.abs(np.asarray(u_mpc) - np.asarray(u_asif)).max(axis=1)
     print(f"ASIF interventions: {np.mean(diff > 1e-3) * 100:.1f}% of steps")
-    for i in range(0, 800, 160):
+    for i in range(0, steps, max(1, steps // 5)):
         print(f"t={i * dt:5.1f}: pos=({float(xs[i, 0]):+.2f},{float(xs[i, 1]):+.2f}) "
               f"h={float(hs[i]):+.2f}")
 

@@ -18,7 +18,7 @@ from smooth_feedback_tpu.groups import Rn
 from smooth_feedback_tpu.qp import QPSolverParams
 
 
-def main():
+def main(steps: int = 1200):
     X, U = Rn(2), Rn(1)
     f = lambda x, u: jnp.stack([x[1], u[0]])
     xdes = lambda t: jnp.stack([-0.5 * jnp.sin(0.3 * t), -0.15 * jnp.cos(0.3 * t)])
@@ -51,7 +51,7 @@ def main():
             x = rk4(x, res.u)
             return (x, res.warmstart), (x, res.u, res.status)
 
-        return jax.lax.scan(body, (x0, ws), jnp.arange(1200))
+        return jax.lax.scan(body, (x0, ws), jnp.arange(steps))
 
     x0 = jnp.array([1.0, 0.0])
     t0 = time.perf_counter()
@@ -59,15 +59,17 @@ def main():
     jax.block_until_ready(xs)
     wall = time.perf_counter() - t0
 
-    ts = (np.arange(1200) + 1) * dt
+    ts = (np.arange(steps) + 1) * dt
     err = np.abs(np.asarray(xs)[:, 0] + 0.5 * np.sin(0.3 * ts))
-    print(f"MPC loop time: {wall * 1e6:.0f}us for 1200 steps "
-          f"({wall / 1200 * 1e6:.0f}us/step incl. compile)")
+    transient = min(200, steps // 2)
+    print(f"MPC loop time: {wall * 1e6:.0f}us for {steps} steps "
+          f"({wall / steps * 1e6:.0f}us/step incl. compile)")
     print(f"optimal: {np.mean(np.asarray(statuses) == 0) * 100:.1f}%")
-    print(f"tracking err (after transient): max {err[200:].max():.4f}")
-    for i in range(0, 1200, 200):
+    print(f"tracking err (after transient): max {err[transient:].max():.4f}")
+    for i in range(0, steps, max(1, steps // 6)):
         print(f"t={ts[i]:5.1f}: x={float(xs[i, 0]):+.3f} v={float(xs[i, 1]):+.3f} "
               f"u={float(us[i, 0]):+.3f}")
+    assert np.mean(np.asarray(statuses) == 0) > 0.95
 
 
 if __name__ == "__main__":

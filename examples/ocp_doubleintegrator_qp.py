@@ -17,7 +17,7 @@ from smooth_feedback_tpu.ocp.collocation import Mesh
 from smooth_feedback_tpu.qp import QPSolverParams, solve_qp
 
 
-def main():
+def main(n_ival: int = 10):
     X, U = Rn(2), Rn(1)
     ocp = OCP(
         X=X, U=U,
@@ -31,7 +31,7 @@ def main():
         cel=jnp.array([1.0, 0.0]),
         ceu=jnp.array([1.0, 0.0]),
     )
-    mesh = Mesh.uniform(10, 4, Kmin=4, Kmax=4)  # K = 40 collocation points
+    mesh = Mesh.uniform(n_ival, 4, Kmin=4, Kmax=4)  # K = 4*n_ival colloc points
     tf = 5.0
     xl = lambda t: jnp.zeros(2)
     ul = lambda t: jnp.zeros(1)

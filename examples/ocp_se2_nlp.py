@@ -59,7 +59,7 @@ def make_ocp():
     )
 
 
-def main():
+def main(target_err: float = 1e-6, max_refine_iter: int = 10):
     ocp = make_ocp()
     xl = lambda t: X.identity()
     ul = lambda t: jnp.full(2, 0.01)
@@ -70,8 +70,8 @@ def main():
         flat,
         Mesh(),
         SolveOCPParams(
-            target_err=1e-6,
-            max_refine_iter=10,
+            target_err=target_err,
+            max_refine_iter=max_refine_iter,
             tf_guess=5.0,
             sqp=SQPParams(max_iter=200, tol=1e-8),
             verbose=True,

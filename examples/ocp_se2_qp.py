@@ -25,7 +25,7 @@ def xdes(t):
     return jnp.concatenate([SE2.exp(t * vel), jnp.stack([vel[0], vel[2]])])
 
 
-def main():
+def main(n_ival: int = 10):
     def f(t, x, u):
         return jnp.stack([x[4], jnp.zeros(()), x[5], u[0], u[1]])
 
@@ -45,7 +45,7 @@ def main():
         ceu=jnp.array([0.0, 0.0, 0.0, 1.0, 0.0]),
     )
 
-    mesh = Mesh.uniform(10, 5, Kmin=5, Kmax=5)  # 50 collocation points
+    mesh = Mesh.uniform(n_ival, 5, Kmin=5, Kmax=5)  # 5*n_ival colloc points
     tf = 5.0
     # linearize around the desired screw trajectory (feasible nominal)
     xl = xdes

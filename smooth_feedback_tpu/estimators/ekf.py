@@ -211,7 +211,7 @@ class SqrtEKFState(NamedTuple):
 def sqrt_ekf_reset(G: LieGroup, g: jax.Array, P: Optional[jax.Array] = None) -> SqrtEKFState:
     if P is None:
         P = jnp.eye(G.ndof, dtype=jnp.result_type(g))
-    return SqrtEKFState(g=g, S=jnp.linalg.cholesky(_sym(jnp.asarray(P))))
+    return SqrtEKFState(g=g, S=_psd_sqrt_lower(jnp.asarray(P)))
 
 
 def _qr_lower(M):
@@ -220,6 +220,19 @@ def _qr_lower(M):
     # sign-normalize so the factor is unique (non-negative diagonal)
     s = jnp.sign(jnp.where(jnp.diag(r) == 0, 1.0, jnp.diag(r)))
     return (r * s[:, None]).T
+
+
+def _psd_sqrt_lower(M):
+    """Lower-triangular T with ``T T' = M`` for PSD — possibly *singular* — M.
+
+    ``jnp.linalg.cholesky`` yields NaN on singular-PSD inputs (e.g. zero
+    process noise on a subset of states), which would silently poison the
+    square-root filter.  An eigh-based square root with negative-eigenvalue
+    clamping handles the full PSD cone; only used on the one-time-per-call
+    factors (Q, R, reset P), never inside the scan body."""
+    w, V = jnp.linalg.eigh(_sym(M))
+    w = jnp.maximum(w, 0.0)
+    return _qr_lower(V * jnp.sqrt(w)[None, :])
 
 
 def sqrt_ekf_predict(
@@ -245,7 +258,7 @@ def sqrt_ekf_predict(
     eye = jnp.eye(G.ndof, dtype=dt)
 
     with jax.default_matmul_precision("highest"):
-        Qh = jnp.linalg.cholesky(_sym(jnp.asarray(Q, dt)) * h)
+        Qh = _psd_sqrt_lower(jnp.asarray(Q, dt) * h)
 
         def body(carry, i):
             g, S = carry
@@ -294,7 +307,7 @@ def sqrt_ekf_update(
     m = H.shape[0]
 
     with jax.default_matmul_precision("highest"):
-        Rh = jnp.linalg.cholesky(_sym(jnp.asarray(R, dt)))
+        Rh = _psd_sqrt_lower(jnp.asarray(R, dt))
         pre = jnp.block([
             [Rh, H @ S],
             [jnp.zeros((n, m), dt), S],

@@ -45,6 +45,59 @@ class SolveOCPInfo(NamedTuple):
     status: NLPSolutionStatus
 
 
+class _SolveCache:
+    """Memo of jitted SQP solves keyed on (problem, mesh signature, params).
+
+    ``jax.jit`` caches by function identity, but a fresh
+    ``jax.jit(lambda z: ...)`` per refinement pass defeats that: a loop (or a
+    sweep of problems) revisiting a mesh signature would re-trace and
+    re-compile from scratch.  Callables are keyed by ``id`` and guarded by
+    strong references held in the cache (so a recycled id can never alias a
+    collected function); bound arrays are keyed by value.  FIFO-bounded."""
+
+    def __init__(self, maxsize: int = 32):
+        self._entries = {}  # key -> (flatocp_ref, jitted)
+        self._maxsize = maxsize
+
+    @staticmethod
+    def _funs(flatocp):
+        return (flatocp.theta, flatocp.f, flatocp.g, flatocp.cr, flatocp.ce)
+
+    @staticmethod
+    def _key(flatocp, mesh, sqp):
+        import numpy as _np
+
+        bounds = tuple(
+            tuple(_np.asarray(b).ravel().tolist())
+            for b in (flatocp.crl, flatocp.cru, flatocp.cel, flatocp.ceu)
+        )
+        return (
+            tuple(id(f) for f in _SolveCache._funs(flatocp)),
+            bounds,
+            flatocp.X,
+            flatocp.U,
+            mesh,
+            sqp,
+        )
+
+    def get(self, flatocp, mesh, sqp):
+        key = self._key(flatocp, mesh, sqp)
+        hit = self._entries.get(key)
+        if hit is not None:
+            held, jitted = hit
+            if all(a is b for a, b in zip(self._funs(held), self._funs(flatocp))):
+                return jitted
+        nlp = ocp_to_nlp(flatocp, mesh)
+        jitted = jax.jit(lambda zz: solve_nlp_sqp(nlp, zz, sqp))
+        if len(self._entries) >= self._maxsize:
+            self._entries.pop(next(iter(self._entries)))
+        self._entries[key] = (flatocp, jitted)
+        return jitted
+
+
+_solve_cache = _SolveCache()
+
+
 def solve_ocp_flat(
     flatocp: OCP,
     mesh: Optional[Mesh] = None,
@@ -64,8 +117,9 @@ def solve_ocp_flat(
     ocpsol = None
 
     for it in range(params.max_refine_iter):
-        nlp = ocp_to_nlp(flatocp, mesh)
-        solve = jax.jit(lambda zz: solve_nlp_sqp(nlp, zz, params.sqp))
+        # memoized: one trace/compile per (problem, mesh signature, params) —
+        # refinement loops and same-mesh sweeps reuse the compiled solve
+        solve = _solve_cache.get(flatocp, mesh, params.sqp)
         nlpsol = solve(z)
         status = NLPSolutionStatus(int(nlpsol.status))
         ocpsol = nlpsol_to_ocpsol(flatocp, mesh, nlpsol)

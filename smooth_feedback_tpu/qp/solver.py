@@ -652,13 +652,23 @@ def solve_qp_timed(
     deadline = _time.monotonic() + max_time
     total = 0
     iters_acc = None
+    unconverged_prev = None
     sol = None
     while True:
         this_chunk = min(chunk_iter, prm.max_iter - total)
         prm_c = _dc.replace(prm, max_iter=this_chunk)
         sol = solve_qp_batch(qp_b, prm_c, ws)
         jax.block_until_ready(sol.primal)
-        iters_acc = sol.iters if iters_acc is None else iters_acc + sol.iters
+        # accumulate iters only for elements still unconverged at chunk entry:
+        # converged elements re-enter as warmstarts (static shapes force a
+        # re-solve) and their few re-convergence iterations are not new work
+        # (cf. qp_solver.hpp:529-533 iter counting under the time budget)
+        if iters_acc is None:
+            iters_acc = sol.iters
+        else:
+            iters_acc = iters_acc + jnp.where(
+                jnp.asarray(unconverged_prev), sol.iters, 0
+            )
         total += this_chunk
         unconverged = np.asarray(sol.status) == _MAX_ITER
         if not unconverged.any() or total >= prm.max_iter:
@@ -672,6 +682,7 @@ def solve_qp_timed(
             sol = sol._replace(status=status)
             break
         ws = sol
+        unconverged_prev = unconverged
     sol = sol._replace(iters=iters_acc)
     if not batched:
         sol = jax.tree.map(lambda a: a[0], sol)

@@ -212,6 +212,42 @@ def test_sqrt_ekf_f32_long_run_psd():
     assert float(jnp.min(diags)) > 0.0
 
 
+def test_sqrt_ekf_singular_psd_noise():
+    """PSD-but-singular Q (zero process noise on some states) and rank-
+    deficient reset P must not poison the square-root filter with NaN factors
+    (cholesky of a singular matrix is NaN; the eigh-based sqrt handles the
+    full PSD cone).  Cross-checked against the covariance-form filter, which
+    accepts singular Q natively."""
+    from smooth_feedback_tpu.estimators import (
+        sqrt_ekf_predict, sqrt_ekf_reset, sqrt_ekf_update,
+    )
+
+    G = SE2
+    Q = jnp.diag(jnp.asarray([0.05, 0.0, 0.0]))  # noise only on x
+    R = jnp.diag(jnp.asarray([0.04, 0.0]))  # exact second measurement channel
+    P0 = jnp.diag(jnp.asarray([1.0, 1.0, 0.0]))  # heading known exactly
+    f = lambda t, g: jnp.array([1.0, 0.0, 0.4])
+    h = lambda g: g[:2]
+    y = jnp.asarray([0.3, -0.1])
+
+    sq = sqrt_ekf_reset(G, G.identity(), P0)
+    assert np.isfinite(np.asarray(sq.S)).all()
+    np.testing.assert_allclose(np.asarray(sq.S @ sq.S.T), np.asarray(P0), atol=1e-12)
+
+    sq = sqrt_ekf_predict(G, f, sq, Q, 0.5, n_steps=10)
+    assert np.isfinite(np.asarray(sq.S)).all()
+    sq = sqrt_ekf_update(G, h, sq, y, R)
+    assert np.isfinite(np.asarray(sq.S)).all()
+    assert np.isfinite(np.asarray(sq.g)).all()
+
+    st = ekf_reset(G, G.identity(), P0)
+    st = ekf_predict(G, f, st, Q, 0.5, n_steps=10)
+    st = ekf_update(G, h, st, y, R)
+    # discrete vs continuous-Euler propagation differ at O(h^2) per step
+    np.testing.assert_allclose(np.asarray(sq.g), np.asarray(st.g), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sq.S @ sq.S.T), np.asarray(st.P), atol=2e-2)
+
+
 def test_iterated_update_one_iter_matches_plain():
     from smooth_feedback_tpu.estimators import ekf_update_iterated
 

