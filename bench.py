@@ -28,14 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 8192  # fleet size (throughput-optimal on v5e: 1.22M solves/s at 6.7 ms/step;
-#           B=2048 -> ~800k, B=1024 -> ~500k for latency-bound use)
+B = 8192  # fleet size (throughput-optimal on v5e: 1.63M solves/s at 5.0 ms/step
+#           in the true closed loop; smaller fleets for latency-bound use)
 NSCAN = 100  # MPC steps chained per device dispatch (tunnel dispatch is
-#              ~30 ms, so short chains are dispatch-bound: 20 -> 7.7 ms/step,
-#              50 -> 7.0, 100 -> 6.7; flat beyond)
-K = 50  # horizon; override: python bench.py [K] [B].  K=100 exceeds the fused
-#         kernel's VMEM and exercises the XLA shared-GEMM fallback
-#         (measured: 69.5k solves/s at B=4096)
+#              ~30 ms, so short chains are dispatch-bound)
+K = 50  # horizon; override: python bench.py [K] [B].  K=100 (padded 384) runs
+#         fused too via the raised per-kernel VMEM limit (measured: 827k
+#         solves/s at B=4096, 100% Optimal — was 69.5k on the XLA fallback)
 
 
 def main():

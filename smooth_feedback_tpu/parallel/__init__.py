@@ -1,5 +1,17 @@
 """Multi-chip scaling utilities."""
 
-from .mesh_utils import dp_mesh, replicate, shard_batch, shard_pytree
+from .mesh_utils import (
+    dp_mesh,
+    make_sharded_fleet_step,
+    replicate,
+    shard_batch,
+    shard_pytree,
+)
 
-__all__ = ["dp_mesh", "shard_batch", "shard_pytree", "replicate"]
+__all__ = [
+    "dp_mesh",
+    "make_sharded_fleet_step",
+    "shard_batch",
+    "shard_pytree",
+    "replicate",
+]

@@ -44,3 +44,34 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), tree
     )
+
+
+def make_sharded_fleet_step(fleet_fn, mesh: Mesh, axis_name: str = "dp"):
+    """shard_map a fleet MPC step over the batch axis of a device mesh.
+
+    ``fleet_fn`` is ``step.fleet_shared_t`` (or ``step.fleet``) from
+    :func:`controllers.make_mpc_step`; the returned function has the same
+    ``(warmstarts, t, xs) -> MPCStepResult`` signature with ``warmstarts``/
+    ``xs`` sharded on their leading axis and ``t`` replicated (scalar clock
+    or per-member times alike — ``step.fleet`` broadcasts internally).
+
+    Explicit ``shard_map`` — rather than relying on jit sharding propagation
+    — is what makes the *Pallas* backend partition: ``pallas_call`` has no
+    SPMD partitioning rules, so under plain jit a sharded batch would be
+    gathered onto one device; under shard_map every device runs the fused
+    kernel on its local block (pure data parallelism, no collectives).
+    """
+    dp = P(axis_name)
+    dp_tree = lambda tree: jax.tree.map(lambda _: dp, tree)
+
+    def sharded(warmstarts, t, xs):
+        in_specs = (dp_tree(warmstarts), P(), dp)
+        # result leaves are all batch-leading (u, status, warmstart, trajs)
+        out_shape = jax.eval_shape(fleet_fn, warmstarts, t, xs)
+        out_specs = dp_tree(out_shape)
+        return jax.shard_map(
+            fleet_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(warmstarts, t, xs)
+
+    return sharded

@@ -430,16 +430,51 @@ def _admm_kernel_shared(
     dres_out[...] = dres
 
 
+# Physical VMEM on v5e is 128MB; Mosaic's *default* scoped limit is 16MB but
+# can be raised per-kernel via CompilerParams(vmem_limit_bytes=...) (verified
+# on-device: a 32MB working set compiles and runs at vmem_limit_bytes=100MB).
+# Budget the fused kernel conservatively below the physical limit so the
+# compiler keeps pipelining headroom; the G-fit heuristic underestimates the
+# true Mosaic footprint by up to ~2x (measured 16.5M actual vs 9.9M estimated
+# at padded 384, G=128), hence the safety factor in _g_fit.
+_VMEM_PHYS = 128 * 2**20
+_VMEM_RAISED = 100 * 2**20  # per-kernel scoped limit when raising
+_VMEM_DEFAULT = 16 * 2**20  # Mosaic default scoped limit
+_FOOTPRINT_FUDGE = 2.0  # estimate -> actual safety factor
+
+
+def _shared_static_bytes(n_pad: int, m_pad: int) -> int:
+    # shared matrices (Minv, Ps, As) + ~1MB slack for Mosaic's own buffers
+    return 4 * (2 * n_pad * n_pad + m_pad * n_pad) + (1 << 20)
+
+
+def _shared_per_problem_bytes(n_pad: int, m_pad: int) -> int:
+    # ~18 live f32 (G, n|m) work arrays: carries, olds, bounds, masks
+    return 18 * 4 * (n_pad + m_pad)
+
+
+def _g_fit(n_pad: int, m_pad: int, budget: int) -> int:
+    """Largest row-block G (multiple of 128, floor 64) whose estimated
+    footprint stays under ``budget`` after the measured fudge factor."""
+    avail = budget / _FOOTPRINT_FUDGE - _shared_static_bytes(n_pad, m_pad)
+    g = int(avail // _shared_per_problem_bytes(n_pad, m_pad))
+    return max(64, g // 128 * 128)
+
+
 def shared_kernel_fits(n: int, m: int) -> bool:
-    """Whether the fused shared-matrix kernel fits the 16MB scoped-VMEM
-    limit for this problem size.  Empirical: padded 256x256 problems fit at
-    any block size <= 256; padded 384x384 exceeds the limit regardless of
-    block (16.3M at G=256, 16.5M at G=128 — the footprint is dominated by
-    n_pad^2-scaled shared buffers, not the per-problem block).  Callers fall
-    back to the XLA shared-GEMM path above this size."""
+    """Whether the fused shared-matrix kernel fits on-chip for this problem
+    size.  Padded sizes <= 256 fit the default 16MB scoped-VMEM limit; larger
+    problems (e.g. the padded-384 K=100 MPC horizon) fit by raising the
+    per-kernel limit toward the 128MB physical VMEM — the fused path now
+    covers every horizon whose shared matrices + one G=64 problem block fit
+    the raised budget (~padded 1024).  Callers fall back to the XLA
+    shared-GEMM path above that."""
     n_pad = _round_up(max(n, 128), 128)
     m_pad = _round_up(max(m, 128), 128)
-    return n_pad <= 256 and m_pad <= 256
+    est = _shared_static_bytes(n_pad, m_pad) + 64 * _shared_per_problem_bytes(
+        n_pad, m_pad
+    )
+    return est * _FOOTPRINT_FUDGE <= _VMEM_RAISED
 
 
 def admm_iterate_pallas_shared(
@@ -470,17 +505,20 @@ def admm_iterate_pallas_shared(
     m = ls.shape[1]
     n_pad = _round_up(max(n, 128), 128)
     m_pad = _round_up(max(m, 128), 128)
-    # VMEM-fit the problem block: the kernel's scoped footprint is the shared
-    # matrices plus ~18 live f32 (G, n|m) work arrays (carries, olds, bounds,
-    # masks).  Measured: K=50 (n=m=256 padded) G=512 -> 17.9M, K=100 (384)
-    # G=256 -> 16.3M, against a 16M scoped-VMEM limit; target 15M with margin
-    # so longer horizons shrink the block instead of failing to compile.
-    static_bytes = 4 * (2 * n_pad * n_pad + m_pad * n_pad) + (1 << 20)
-    per_problem_bytes = 18 * 4 * (n_pad + m_pad)
-    g_fit = int((15 * 2**20 - static_bytes) // per_problem_bytes)
-    # round down to a multiple of 128 (the MXU-friendly row-block sizes);
-    # floor at 64 — below that the shared-GEMM path stops paying off anyway
-    g_fit = max(64, g_fit // 128 * 128)
+    # VMEM-fit the problem block.  Problems fitting Mosaic's default 16MB
+    # scoped limit (padded <= 256, e.g. K=50 MPC) keep the measured-optimal
+    # default path; larger problems (padded 384 = K=100 MPC and up) raise the
+    # per-kernel scoped limit toward physical VMEM and size G against the
+    # raised budget — this is what removes the 15x K=100 fused-vs-XLA cliff.
+    if n_pad <= 256 and m_pad <= 256:
+        # same 15MB-budget formula as before the raised-limit path existed
+        # (measured-optimal for the K=50 flagship config: G=256 fits, 512
+        # exceeded the default scoped limit)
+        g_fit = _g_fit(n_pad, m_pad, int(15 * 2**20 * _FOOTPRINT_FUDGE))
+        vmem_limit = None  # Mosaic default
+    else:
+        g_fit = _g_fit(n_pad, m_pad, _VMEM_RAISED)
+        vmem_limit = _VMEM_RAISED
     G = min(block, B, g_fit)
     B_pad = _round_up(B, G)
 
@@ -563,6 +601,9 @@ def admm_iterate_pallas_shared(
     )
 
     kernel = functools.partial(_admm_kernel_shared, prm, G)
+    kwargs = {}
+    if vmem_limit is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
     # trace the (f32-only) kernel under x32 semantics even when the caller
     # has jax_enable_x64 on: weak Python constants would otherwise become
     # f64/i64 mid-kernel, which mosaic cannot lower
@@ -574,6 +615,7 @@ def admm_iterate_pallas_shared(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            **kwargs,
         )(*args)
 
     return (

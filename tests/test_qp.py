@@ -280,6 +280,46 @@ def test_pallas_shared_backend_parity():
     np.testing.assert_allclose(rx.primal, rp.primal, atol=1e-5)
 
 
+def test_pallas_shared_backend_parity_npad384():
+    """Shared-kernel parity at padded size 384 — the K=100 MPC horizon class
+    that used to fall off the fused path (pre-raised-VMEM the gate rejected
+    anything over padded 256 and dropped 15x to the XLA shared-GEMM
+    fallback).  Interpret mode on CPU; on device the same call raises the
+    Mosaic scoped-VMEM limit."""
+    from smooth_feedback_tpu.qp import qp_factorize
+    from smooth_feedback_tpu.qp.pallas_kernel import shared_kernel_fits
+
+    n, m, B = 302, 310, 4  # pads to 384x384 (the K=100 DI MPC shape class)
+    assert shared_kernel_fits(n, m)
+
+    key = jax.random.PRNGKey(9)
+    M = jax.random.normal(key, (n, n), jnp.float32) / np.sqrt(n)
+    P = M @ M.T + jnp.eye(n, dtype=jnp.float32)
+    A = jax.random.normal(jax.random.PRNGKey(10), (m, n), jnp.float32) / np.sqrt(n)
+    centers = jnp.einsum(
+        "mn,bn->bm", A, jax.random.normal(jax.random.PRNGKey(12), (B, n), jnp.float32)
+    )
+    qps = QuadraticProgram(
+        P=P[None],
+        q=jax.random.normal(jax.random.PRNGKey(11), (B, n), jnp.float32),
+        A=A[None],
+        l=centers - 1.0,
+        u=centers + 1.0,
+    )
+    qp1 = jax.tree.map(lambda a: a[0], qps)
+    prm_x = QPSolverParams(max_iter=2000, polish=False)
+    prm_p = QPSolverParams(max_iter=2000, polish=False, backend="pallas")
+    fac_b = qp_factorize(jax.tree.map(lambda a: a[None], qp1), prm_x)
+    fac1 = jax.tree.map(lambda a: a[0], fac_b)
+
+    rx = solve_qp_batch(qps, prm_x, None, fac1)
+    rp = solve_qp_batch(qps, prm_p, None, fac1)
+    assert np.all(np.asarray(rx.status) == QPSolutionStatus.Optimal)
+    assert np.array_equal(np.asarray(rx.status), np.asarray(rp.status))
+    assert np.array_equal(np.asarray(rx.iters), np.asarray(rp.iters))
+    np.testing.assert_allclose(rx.primal, rp.primal, atol=1e-5)
+
+
 def _kkt_residuals(qps, sol):
     """Stationarity, primal feasibility, complementary slackness (unscaled).
 
@@ -543,15 +583,23 @@ def test_solve_qp_timed_no_double_count():
     assert np.all(sol_iters[~early] <= 2 * ref_iters[~early])
 
 
-def test_pallas_shared_vmem_gate_falls_back():
-    """Shared problems whose padded size exceeds the fused kernel's scoped
-    VMEM (> 256x256) must route to the XLA shared-GEMM path and still solve
-    (the K=100 MPC horizon case)."""
-    from smooth_feedback_tpu.qp import qp_factorize
+def test_pallas_shared_vmem_gate_falls_back(monkeypatch):
+    """Shared problems whose padded size exceeds even the RAISED per-kernel
+    VMEM budget must route to the XLA shared-GEMM path and still solve.
+    Since the raised limit (toward the 128MB physical VMEM) now admits every
+    realistic horizon — K=50 and K=100 both fit — the fallback is forced
+    here by shrinking the budget."""
+    from smooth_feedback_tpu.qp import pallas_kernel, qp_factorize
     from smooth_feedback_tpu.qp.pallas_kernel import shared_kernel_fits
 
-    assert shared_kernel_fits(152, 203)  # K=50 fits
-    assert not shared_kernel_fits(302, 302)  # K=100 does not
+    assert shared_kernel_fits(152, 203)  # K=50 fits (default 16MB limit)
+    assert shared_kernel_fits(302, 302)  # K=100 fits (raised limit)
+    assert not shared_kernel_fits(2200, 2200)  # beyond physical VMEM
+
+    # shrink the raised budget so the 384-padded problem below is rejected
+    # and the solver takes the XLA shared-GEMM fallback
+    monkeypatch.setattr(pallas_kernel, "_VMEM_RAISED", 4 * 2**20)
+    assert not shared_kernel_fits(270, 40)
 
     # one shared 270-var template, batch of 4 differing only in q/l/u
     n, m = 270, 40
