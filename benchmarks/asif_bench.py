@@ -67,13 +67,20 @@ def build(dtype):
             R=jnp.eye(2, dtype=dtype),
         ),
         params=MPCParams(
-            K=30, tf=5.0,
-            qp=QPSolverParams(polish=False, max_iter=200, stop_check_iter=10),
+            K=30, tf=5.0, return_trajectories=False,
+            qp=QPSolverParams(
+                polish=False, max_iter=200, stop_check_iter=10,
+                backend="pallas",
+            ),
         ),
         cr=lambda x, u: u,
         crl=jnp.array([-0.5, -0.5], dtype),
         cru=jnp.array([0.5, 0.5], dtype),
         dtype=dtype,
+        # the vehicle problem is LTI along the screw reference (constant
+        # velocity nominal): scaling + factorization computed once, and the
+        # fleet shares one transcription + GEMM iterations per step
+        reuse_factors=True,
     )
 
     def h(t, x):
@@ -116,8 +123,10 @@ def main():
         def body(carry, i):
             xs, mws, aws = carry
             t = t0 + DT * i.astype(dtype)
-            m = jax.vmap(lambda w, x: mpc_step(w, t, x))(mws, xs)
-            a = jax.vmap(asif_step)(aws, xs, m.u)
+            # shared-transcription MPC fleet (exact for SE(2) state, see
+            # fleet_shared_t) + single-batched-solve ASIF fleet
+            m = mpc_step.fleet_shared_t(mws, t, xs)
+            a = asif_step.fleet(aws, xs, m.u)
             xs = jax.vmap(lambda x, u: X.rplus(x, DT * f(x, u)))(xs, a.u)
             hmin = jnp.min(jax.vmap(lambda x: h(t, x)[0])(xs))
             return (xs, m.warmstart, a.warmstart), hmin

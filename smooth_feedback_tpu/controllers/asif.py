@@ -193,15 +193,7 @@ def make_asif_step(
     M = params.asif.K * nh + nb + 1
     N = nu + 1
 
-    def step(warmstart: QPSolution, x, u_des) -> ASIFStepResult:
-        qp = asif_to_qp(
-            X, U, params.asif, params.T, x, u_des, W_u, ulim, f, h, bu
-        )
-        qp_b = jax.tree.map(lambda a: a[None], qp)
-        ws_b = jax.tree.map(lambda a: a[None], warmstart)
-        sol_b = solve_qp_batch(qp_b, params.qp, ws_b)
-        sol = jax.tree.map(lambda a: a[0], sol_b)
-
+    def _finalize(sol: QPSolution, warmstart: QPSolution, u_des) -> ASIFStepResult:
         mu = sol.primal[:nu]
         u = U.rplus(u_des, mu)
         ok = (
@@ -211,6 +203,33 @@ def make_asif_step(
         )
         new_ws = jax.tree.map(lambda a, b: jnp.where(ok, a, b), sol, warmstart)
         return ASIFStepResult(u=u, status=sol.status, warmstart=new_ws)
+
+    def step(warmstart: QPSolution, x, u_des) -> ASIFStepResult:
+        qp = asif_to_qp(
+            X, U, params.asif, params.T, x, u_des, W_u, ulim, f, h, bu
+        )
+        qp_b = jax.tree.map(lambda a: a[None], qp)
+        ws_b = jax.tree.map(lambda a: a[None], warmstart)
+        sol_b = solve_qp_batch(qp_b, params.qp, ws_b)
+        sol = jax.tree.map(lambda a: a[0], sol_b)
+        return _finalize(sol, warmstart, u_des)
+
+    def fleet_step(warmstarts: QPSolution, xs, u_des) -> ASIFStepResult:
+        """Batched ASIF step: QP construction (backup integration +
+        sensitivities) is vmapped, but the fleet's QPs solve in ONE call to
+        ``solve_qp_batch`` — keeping the solver's scalar-driven iteration
+        control instead of degrading the stopping check into per-element
+        selects under a naive ``vmap(step)`` (same rationale as the MPC
+        fleet path)."""
+        qps = jax.vmap(
+            lambda x, u: asif_to_qp(
+                X, U, params.asif, params.T, x, u, W_u, ulim, f, h, bu
+            )
+        )(xs, u_des)
+        sols = solve_qp_batch(qps, params.qp, warmstarts)
+        return jax.vmap(_finalize)(sols, warmstarts, u_des)
+
+    step.fleet = fleet_step
 
     init_ws = QPSolution(
         primal=jnp.zeros((N,), dtype),

@@ -229,16 +229,33 @@ def make_mpc_step(
     if reuse_factors:
         from ..qp.solver import qp_factorize
 
-        qp0 = jax.jit(transcribe)(jnp.zeros((), dtype), X.identity(dtype))
+        # template at x = xdes(0): the initial-condition jacobian block is
+        # exactly I there for every state group (c = xdes (-) xdes = 0, and
+        # dr_expinv(0) = I) — the same rows fleet_shared_t constructs
+        qp0 = jax.jit(transcribe)(jnp.zeros((), dtype), xdes(jnp.zeros((), dtype)))
         if validate_reuse:
             # the invariance assumption is silent-wrong-answer territory when
             # violated (stale factors), so probe it: a transcription at a
-            # different time and a perturbed state must produce the same P/A
+            # different time and a perturbed state must produce the same P/A.
+            # The IC equality rows are exempt: for non-commutative X they
+            # carry the per-member dr_expinv jacobian, which fleet_shared_t
+            # reformulates exactly onto the identity-row template (see its
+            # docstring) and the solver's convergence checks always use the
+            # problem's true A.
             eps = 0.1 * jnp.arange(1, nx + 1, dtype=dtype) / nx
             x_probe = X.rplus(X.identity(dtype), eps)
             qp1 = jax.jit(transcribe)(jnp.asarray(0.437, dtype), x_probe)
             tol = 50 * float(jnp.finfo(dtype or jnp.float32).eps)
-            for name, a0, a1 in (("P", qp0.P, qp1.P), ("A", qp0.A, qp1.A)):
+            ce_rows = lay["cecon_B"] + np.arange(nx)
+
+            def _drop_ce_rows(Amat):
+                return Amat.at[ce_rows, :].set(0.0)
+
+            checks = (
+                ("P", qp0.P, qp1.P),
+                ("A", _drop_ce_rows(qp0.A), _drop_ce_rows(qp1.A)),
+            )
+            for name, a0, a1 in checks:
                 err = float(jnp.max(jnp.abs(a1 - a0)))
                 scale = 1.0 + float(jnp.max(jnp.abs(a0)))
                 if not err <= tol * scale:
@@ -285,26 +302,28 @@ def make_mpc_step(
     def fleet_step_shared_t(warmstarts: QPSolution, t, xs) -> MPCStepResult:
         """Fleet step for a COMMON clock ``t`` (scalar): the whole fleet
         shares one transcription — only the initial-condition equality rows
-        differ per controller (their bounds are ``-(x (-) xdes(t))``), so the
+        differ per controller (their bounds are ``-(xdes(t) (-) x)``), so the
         per-problem work is one ``rminus``.  Combined with ``reuse_factors``
         and the pallas backend, the QP batch additionally solves with
         shared-matrix GEMM iterations.
 
-        Requires a fleet-wide scalar ``t``, step-invariant P/A (the
-        ``reuse_factors`` conditions), AND a commutative (Euclidean) state
-        group: the initial-condition rows reuse the x=identity Jacobian
-        ``d rminus(xdes(t), x)``, which is linearization-independent only
-        when ``dr_expinv`` is identity.  Enforced at trace time."""
-        if not X.is_commutative():
-            raise ValueError(
-                "fleet_shared_t shares the initial-condition constraint "
-                "Jacobian across the fleet, which is exact only for "
-                "commutative (Euclidean) state groups; use step.fleet for "
-                f"X={X!r}"
-            )
+        Exact for ANY state group, not just Euclidean (cf. the reference's
+        per-member ``dr_expinv`` jacobian, mpc.hpp:293-301): the member-b
+        linearized IC constraint is ``J_b dx0 = -c_b`` with
+        ``c_b = xdes(t) (-) x_b`` and ``J_b = dr_expinv(c_b)``.  Because
+        ``dr_expinv(c) c = c`` (one-parameter-subgroup identity), its unique
+        solution is ``dx0 = -c_b`` — the same point the identity-row system
+        ``I dx0 = -c_b`` pins.  The fleet therefore shares the
+        identity-row template (transcribed at ``x = xdes(t)``, where the IC
+        jacobian is exactly I) and scatters only the bounds; primals match
+        the per-member transcription exactly, duals on the IC rows transform
+        by ``J_b^T`` (internal to the warmstart carry).
+
+        Requires a fleet-wide scalar ``t`` and step-invariant P/A away from
+        the IC rows (the ``reuse_factors`` conditions)."""
         t = jnp.asarray(t, dtype)
         B = int(xs.shape[0])
-        qp1 = transcribe(t, X.identity(dtype))  # ONE transcription
+        qp1 = transcribe(t, xdes(t))  # ONE transcription; IC rows exactly I
 
         # initial-condition rows: l = u = cel - ce(xl0) = -rminus(xdes(t), x)
         ce_bounds = -jax.vmap(lambda x: X.rminus(xdes(t), x))(xs)  # (B, nx)

@@ -232,3 +232,33 @@ def djlinv2c2(x2):
     )
     dc3_dt = -2.0 / (x2 * t) - du
     return jnp.where(small, series, dc3_dt / (2.0 * t))
+
+
+def dcos4c2(x2):
+    """d/ds [(1 - s/2 - cos t)/s^2], s = t^2 = x2.
+
+    Series: d/ds [-1/24 + s/720 - s^2/40320 + s^3/3628800 - ...]
+          = (1 - s/28 (1 - s/60 (1 - s/99))) / 720.
+    Cutoff matches cos4c2's (t = 0.5): the exact branch loses one more power
+    to cancellation than its parent."""
+    small = x2 < 0.25
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = (1.0 - x2 / 28.0 * (1.0 - x2 / 60.0 * (1.0 - x2 / 99.0))) / 720.0
+    exact = (-0.5 + jnp.sin(t) / (2.0 * t)) / (x2 * x2) - 2.0 * (
+        1.0 - 0.5 * x2 - jnp.cos(t)
+    ) / (x2 * x2 * x2)
+    return jnp.where(small, series, exact)
+
+
+def dsin5c2(x2):
+    """d/ds [(t - sin t - t^3/6)/(s^2 t)], s = t^2 = x2.
+
+    Series: d/ds [-1/120 + s/5040 - s^2/362880 + s^3/39916800 - ...]
+          = (1 - s/36 (1 - 3 s/220 (1 - s/117))) / 5040."""
+    small = x2 < 0.25
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    series = (1.0 - x2 / 36.0 * (1.0 - 3.0 * x2 / 220.0 * (1.0 - x2 / 117.0))) / 5040.0
+    exact = (1.0 - jnp.cos(t) - 0.5 * x2) / (2.0 * x2 * x2 * x2) - 2.5 * (
+        t - jnp.sin(t) - t * x2 / 6.0
+    ) / (x2 * x2 * x2 * t)
+    return jnp.where(small, series, exact)

@@ -508,6 +508,92 @@ class _SE3(LieGroup):
         z = jnp.zeros((3, 3), dtype=x.dtype)
         return jnp.block([[Ji, -(Ji @ Q @ Ji)], [z, Ji]])
 
+    # Closed-form second-order derivatives (replacing the jacfwd sweep over
+    # dr_exp; role of smooth's static sparse second-order tables consumed by
+    # the reference's flatten Hessians, ocp_flatten.hpp:58-81).  _Q is LINEAR
+    # in rho, so the rho-derivative is _Q evaluated at basis vectors; the
+    # phi-derivative differentiates each hat-product with the so(3)
+    # generators and the scalar coefficients via the d*-series.
+    @staticmethod
+    def _dQ_dphi(rho, phi):
+        """(3, 3, 3): out[k] = d _Q(rho, phi) / d phi_k."""
+        th2 = phi @ phi
+        rh = _hat3(rho)
+        ph = _hat3(phi)
+        G = _so3_generators(phi.dtype)  # G[k] = d hat(phi) / d phi_k
+        m1, m2, m3 = se.sin3c2(th2), se.cos4c2(th2), se.sin5c2(th2)
+        dm1 = 2.0 * se.dsin3c2(th2) * phi  # (3,)
+        dm2 = 2.0 * se.dcos4c2(th2) * phi
+        dm3 = 2.0 * se.dsin5c2(th2) * phi
+
+        pr = ph @ rh
+        rp = rh @ ph
+        prp = pr @ ph
+        pp = ph @ ph
+        T1 = pr + rp + prp
+        T2 = pp @ rh + rh @ pp - 3.0 * prp
+        T3 = prp @ ph + ph @ prp
+
+        L = lambda A, B: jnp.einsum("kij,jl->kil", A, B)  # (3,3,3)x(3,3)
+        R = lambda A, B: jnp.einsum("ij,kjl->kil", A, B)  # (3,3)x(3,3,3)
+        dpr = L(G, rh)
+        drp = R(rh, G)
+        dprp = L(dpr, ph) + R(pr, G)
+        dpp = L(G, ph) + R(ph, G)
+        dT1 = dpr + drp + dprp
+        dT2 = L(dpp, rh) + R(rh, dpp) - 3.0 * dprp
+        dT3 = L(dprp, ph) + R(prp, G) + L(G, prp) + R(ph, dprp)
+
+        return (
+            dm1[:, None, None] * T1[None]
+            + m1 * dT1
+            - dm2[:, None, None] * T2[None]
+            - m2 * dT2
+            - 0.5 * (dm2 - 3.0 * dm3)[:, None, None] * T3[None]
+            - 0.5 * (m2 - 3.0 * m3) * dT3
+        )
+
+    def _dQr_blocks(self, x):
+        """(3, 3, 6): derivative of the dr_exp Q-block ``_Q(-v, -w)`` w.r.t.
+        the full tangent x = (v, w)."""
+        rho, phi = -x[:3], -x[3:]
+        eye = jnp.eye(3, dtype=x.dtype)
+        # linear in rho: d/dv_k _Q(-v, -w) = _Q(-e_k, phi)
+        dQ_v = jnp.stack([self._Q(-eye[k], phi) for k in range(3)])  # (3,3,3)
+        dQ_w = -self._dQ_dphi(rho, phi)  # chain through phi = -w
+        return jnp.moveaxis(jnp.concatenate([dQ_v, dQ_w], axis=0), 0, -1)
+
+    def d2r_exp(self, x):
+        wx = x[3:]
+        z336 = jnp.zeros((3, 3, 6), dtype=x.dtype)
+        dJ = jnp.concatenate(
+            [jnp.zeros((3, 3, 3), dtype=x.dtype), SO3.d2r_exp(wx)], axis=2
+        )  # (3,3,6): Jr depends on w only
+        dQ = self._dQr_blocks(x)
+        # assemble [[dJ, dQ], [0, dJ]] per derivative direction
+        top = jnp.concatenate([dJ, dQ], axis=1)
+        bot = jnp.concatenate([z336, dJ], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    def d2r_expinv(self, x):
+        wx = x[3:]
+        Ji = SO3.dr_expinv(wx)
+        Q = self._Q(-x[:3], -wx)
+        dJi = jnp.concatenate(
+            [jnp.zeros((3, 3, 3), dtype=x.dtype), SO3.d2r_expinv(wx)], axis=2
+        )  # (3,3,6)
+        dQ = self._dQr_blocks(x)
+        # d(-Ji Q Ji) by product rule, batched over the derivative axis
+        dB = -(
+            jnp.einsum("ijk,jl,lm->imk", dJi, Q, Ji)
+            + jnp.einsum("ij,jlk,lm->imk", Ji, dQ, Ji)
+            + jnp.einsum("ij,jl,lmk->imk", Ji, Q, dJi)
+        )
+        z336 = jnp.zeros((3, 3, 6), dtype=x.dtype)
+        top = jnp.concatenate([dJi, dB], axis=1)
+        bot = jnp.concatenate([z336, dJi], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
     def normalize(self, g):
         return jnp.concatenate([g[:3], g[3:] / jnp.linalg.norm(g[3:])])
 
@@ -575,6 +661,27 @@ class Bundle(LieGroup):
 
     def dr_expinv(self, v):
         return self._blockdiag([p.dr_expinv(vi) for p, vi in zip(self.parts, self._dsplit(v))])
+
+    def _blockdiag3(self, tensors, dtype):
+        """(ndof, ndof, ndof) block-diagonal assembly of per-part (d, d, d)
+        second-order tensors: cross-part derivatives vanish on a direct
+        product (closed form replacing the base-class jacfwd sweep)."""
+        out = jnp.zeros((self.ndof, self.ndof, self.ndof), dtype=dtype)
+        for i, t in enumerate(tensors):
+            o = int(self._doff[i])
+            d = int(self._doff[i + 1] - o)
+            out = out.at[o : o + d, o : o + d, o : o + d].set(t)
+        return out
+
+    def d2r_exp(self, v):
+        return self._blockdiag3(
+            [p.d2r_exp(vi) for p, vi in zip(self.parts, self._dsplit(v))], v.dtype
+        )
+
+    def d2r_expinv(self, v):
+        return self._blockdiag3(
+            [p.d2r_expinv(vi) for p, vi in zip(self.parts, self._dsplit(v))], v.dtype
+        )
 
     def normalize(self, g):
         return jnp.concatenate([p.normalize(gi) for p, gi in zip(self.parts, self._psplit(g))])

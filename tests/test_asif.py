@@ -127,3 +127,34 @@ def test_vmap_fleet():
     res = jax.jit(jax.vmap(step))(wss, xs, uds)
     assert res.u.shape == (B, 1)
     assert np.all(np.asarray(res.status) == QPSolutionStatus.Optimal)
+
+
+def test_fleet_matches_vmap():
+    """step.fleet (one batched solve) matches the naive vmapped step — same
+    statuses and filtered inputs (the batched path keeps the solver's
+    scalar-driven iteration control; results must be identical up to solver
+    tolerance)."""
+    X, U = Rn(2), Rn(1)
+    f = lambda x, u: jnp.stack([x[1], u[0]])
+    h = lambda t, x: jnp.stack([x[0]])
+    bu = lambda t, x: jnp.array([1.0])
+    step, ws0 = make_asif_step(
+        X, U, f, h, bu,
+        params=ASIFilterParams(
+            T=1.0, asif=ASIFtoQPParams(K=5),
+            qp=QPSolverParams(eps_abs=1e-8, eps_rel=1e-8),
+        ),
+    )
+    B = 8
+    xs = jnp.stack([jnp.array([1.0 + 0.1 * i, -0.2]) for i in range(B)])
+    uds = jnp.zeros((B, 1))
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
+    r_vmap = jax.jit(jax.vmap(step))(wss, xs, uds)
+    r_fleet = jax.jit(step.fleet)(wss, xs, uds)
+    assert np.all(np.asarray(r_fleet.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_array_equal(
+        np.asarray(r_fleet.status), np.asarray(r_vmap.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fleet.u), np.asarray(r_vmap.u), atol=1e-6
+    )

@@ -19,6 +19,7 @@ SMOKE_KWARGS = {
     "ekf_se2_localization": dict(steps=40),
     "mpc_asif_vehicle": dict(steps=3, K_mpc=8, K_asif=10),
     "mpc_doubleintegrator": dict(steps=30),
+    "mpc_se3_rigidbody": dict(steps=40),
     "ocp_doubleintegrator_qp": dict(n_ival=3),
     "ocp_se2_nlp": dict(target_err=1e-2, max_refine_iter=1),
     "ocp_se2_qp": dict(n_ival=2),

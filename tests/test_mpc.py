@@ -264,23 +264,47 @@ def test_reuse_factors_validation_catches_nonlti():
         )
 
 
-def test_fleet_shared_t_rejects_noncommutative():
-    """fleet_shared_t shares the IC-constraint Jacobian, exact only for
-    Euclidean state; SE(2) must be rejected at trace time."""
+def test_fleet_shared_t_se2_matches_fleet():
+    """fleet_shared_t is exact for NON-commutative state groups too: the
+    member IC constraint ``dr_expinv(c) dx0 = -c`` has the unique solution
+    ``dx0 = -c`` (since ``dr_expinv(c) c = c``), which the shared
+    identity-row template pins with the same bounds — cf. the reference's
+    per-member dr_expinv jacobian (mpc.hpp:293-301).  Primals and controls
+    must match the general per-member transcription path."""
     X, U = SE2, Rn(2)
-    f = lambda x, u: jnp.array([u[0], 0.0, u[1]])
-    xdes = lambda t: SE2.identity()
-    udes = lambda t: jnp.zeros(2)
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros(()), u[1]])
+    twist = jnp.array([0.5, 0.0, 0.3])
+    xdes = lambda t: SE2.exp(t * twist)
+    udes = lambda t: jnp.stack([twist[0], twist[2]])
+    dxdes = lambda t: twist
     step, ws0 = make_mpc_step(
-        X, U, f, xdes, udes,
-        weights=MPCWeights(Q=jnp.eye(3), Qtf=jnp.eye(3), R=jnp.eye(2)),
-        params=MPCParams(K=8, tf=2.0),
+        X, U, f, xdes, udes, dxdes=dxdes,
+        weights=MPCWeights(Q=jnp.eye(3), Qtf=5 * jnp.eye(3), R=0.1 * jnp.eye(2)),
+        params=MPCParams(
+            K=8, tf=3.0,
+            qp=QPSolverParams(eps_abs=1e-8, eps_rel=1e-8, max_iter=4000),
+        ),
     )
-    B = 2
-    xs = jnp.stack([SE2.identity()] * B)
+    B = 5
+    # states offset from the reference pose at t (some substantially, where
+    # dr_expinv(c) is far from I — the case the old code rejected)
+    offs = 0.4 * jax.random.normal(jax.random.PRNGKey(4), (B, 3))
+    t = 0.7
+    xs = jax.vmap(lambda w: SE2.rplus(xdes(t), w))(offs)
     wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
-    with pytest.raises(ValueError, match="commutative"):
-        step.fleet_shared_t(wss, 0.0, xs)
+
+    r1 = jax.jit(step.fleet)(wss, t, xs)
+    r2 = jax.jit(step.fleet_shared_t)(wss, t, xs)
+    assert np.all(np.asarray(r1.status) == QPSolutionStatus.Optimal)
+    assert np.all(np.asarray(r2.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r1.u), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r2.x_traj), np.asarray(r1.x_traj), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.warmstart.primal), np.asarray(r1.warmstart.primal),
+        atol=1e-5,
+    )
 
 
 def test_return_trajectories_false():
@@ -311,3 +335,39 @@ def test_return_trajectories_false():
     rf = jax.jit(s2.fleet)(wss, 0.0, xs)
     assert rf.u_traj is None
     np.testing.assert_allclose(np.asarray(rf.u[0]), np.asarray(r2.u), atol=1e-12)
+
+
+def test_se3_closed_loop_tracking():
+    """SE(3) rigid-body MPC tracks a feasible screw trajectory — the 3D
+    workload exercising flatten/transcription on SE(3) (closed-form
+    dr_expinv + the non-commutative ad-correction) end to end.  Velocity-
+    controlled kinematics, start offset from the reference."""
+    from smooth_feedback_tpu.groups import SE3
+
+    X, U = SE3, Rn(6)
+    f = lambda x, u: u  # body-velocity control
+    twist = jnp.array([0.4, 0.0, 0.1, 0.0, 0.0, 0.3])  # translate + yaw screw
+    xdes = lambda t: SE3.exp(t * twist)
+    udes = lambda t: twist
+    dxdes = lambda t: twist
+
+    step, ws0 = make_mpc_step(
+        X, U, f,
+        xdes=xdes, udes=udes, dxdes=dxdes,
+        weights=MPCWeights(Q=jnp.eye(6), Qtf=5 * jnp.eye(6), R=0.1 * jnp.eye(6)),
+        params=MPCParams(K=8, tf=2.0),
+    )
+
+    dt = 0.1
+
+    def body(carry, i):
+        x, ws = carry
+        res = step(ws, i * dt, x)
+        x = SE3.rplus(x, dt * f(x, res.u))
+        return (x, res.warmstart), (res.status, x)
+
+    x0 = SE3.rplus(SE3.identity(), jnp.array([-0.3, 0.2, 0.15, 0.1, -0.05, 0.1]))
+    (xf, _), (statuses, xs) = jax.lax.scan(body, (x0, ws0), jnp.arange(100))
+    final_err = np.linalg.norm(np.asarray(SE3.rminus(xf, xdes(100 * dt))))
+    assert final_err < 0.05, f"final pose error {final_err}"
+    assert np.all(np.asarray(statuses) == QPSolutionStatus.Optimal)
