@@ -76,6 +76,11 @@ def main():
                 stop_check_iter=10,  # checks are cheap GEMMs in the shared kernel
                 backend="pallas",
                 pallas_block=256,
+                # sort_stragglers measured NEUTRAL-to-negative here (5.58 vs
+                # 5.02 ms/step): closed-loop difficulty is too transient for
+                # the previous-iters predictor, and the permutation gathers
+                # cost ~0.5 ms.  Left off; the opt-in helps only fleets with
+                # persistent per-member difficulty spreads.
             ),
         ),
         cr=lambda x, u: u,

@@ -233,15 +233,20 @@ def make_mpc_step(
         # exactly I there for every state group (c = xdes (-) xdes = 0, and
         # dr_expinv(0) = I) — the same rows fleet_shared_t constructs
         qp0 = jax.jit(transcribe)(jnp.zeros((), dtype), xdes(jnp.zeros((), dtype)))
+        # For non-commutative X the per-member transcription's IC equality
+        # rows carry dr_expinv(c) and DIFFER from the identity-row template,
+        # so the template factors are only consistent with the QPs
+        # fleet_shared_t constructs (which reformulates those rows exactly,
+        # see its docstring).  step/step.fleet transcribe the true per-member
+        # rows and must not iterate against mismatched template matrices —
+        # the stopping check would stall on a (J_b - I)' y_ic stationarity
+        # floor.  They fall back to per-solve factorization.
+        ic_rows_vary = not X.is_commutative()
         if validate_reuse:
             # the invariance assumption is silent-wrong-answer territory when
             # violated (stale factors), so probe it: a transcription at a
-            # different time and a perturbed state must produce the same P/A.
-            # The IC equality rows are exempt: for non-commutative X they
-            # carry the per-member dr_expinv jacobian, which fleet_shared_t
-            # reformulates exactly onto the identity-row template (see its
-            # docstring) and the solver's convergence checks always use the
-            # problem's true A.
+            # different time and a perturbed state must produce the same P/A
+            # (IC equality rows checked separately — see ic_rows_vary above)
             eps = 0.1 * jnp.arange(1, nx + 1, dtype=dtype) / nx
             x_probe = X.rplus(X.identity(dtype), eps)
             qp1 = jax.jit(transcribe)(jnp.asarray(0.437, dtype), x_probe)
@@ -270,15 +275,19 @@ def make_mpc_step(
         # shared (batch-free) factors: every fleet member uses the same
         # matrices, which unlocks the GEMM-based Pallas path
         factors1 = jax.tree.map(lambda a: a[0], factors_b)
+        # factors for the per-member-transcription paths (step, step.fleet):
+        # only valid when the FULL matrices incl. IC rows are step-invariant
+        factors_gen = None if ic_rows_vary else factors1
     else:
         factors1 = None
+        factors_gen = None
 
     def step(warmstart: QPSolution, t, x) -> MPCStepResult:
         qp = transcribe(t, x)
         qp_b = jax.tree.map(lambda a: a[None], qp)
         ws_b = jax.tree.map(lambda a: a[None], warmstart)
         sol_b = solve_qp_batch(
-            qp_b, params.qp, ws_b if params.warmstart else None, factors1
+            qp_b, params.qp, ws_b if params.warmstart else None, factors_gen
         )
         sol = jax.tree.map(lambda a: a[0], sol_b)
         return _finalize(sol, warmstart, jnp.asarray(t, dtype))
@@ -293,7 +302,7 @@ def make_mpc_step(
         ts = jnp.broadcast_to(jnp.asarray(ts, dtype), xs.shape[:1])
         qps = jax.vmap(transcribe)(ts, xs)
         sols = solve_qp_batch(
-            qps, params.qp, warmstarts if params.warmstart else None, factors1
+            qps, params.qp, warmstarts if params.warmstart else None, factors_gen
         )
         return jax.vmap(_finalize)(sols, warmstarts, ts)
 

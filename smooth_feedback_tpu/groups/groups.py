@@ -564,35 +564,40 @@ class _SE3(LieGroup):
         return jnp.moveaxis(jnp.concatenate([dQ_v, dQ_w], axis=0), 0, -1)
 
     def d2r_exp(self, x):
-        wx = x[3:]
-        z336 = jnp.zeros((3, 3, 6), dtype=x.dtype)
-        dJ = jnp.concatenate(
-            [jnp.zeros((3, 3, 3), dtype=x.dtype), SO3.d2r_exp(wx)], axis=2
-        )  # (3,3,6): Jr depends on w only
-        dQ = self._dQr_blocks(x)
-        # assemble [[dJ, dQ], [0, dJ]] per derivative direction
-        top = jnp.concatenate([dJ, dQ], axis=1)
-        bot = jnp.concatenate([z336, dJ], axis=1)
-        return jnp.concatenate([top, bot], axis=0)
+        # full-precision scope: these are public numeric entry points with no
+        # scoped pipeline consumer; TPU bf16-default matmuls would silently
+        # corrupt the hat-product chains (~1e-2, measured)
+        with jax.default_matmul_precision("highest"):
+            wx = x[3:]
+            z336 = jnp.zeros((3, 3, 6), dtype=x.dtype)
+            dJ = jnp.concatenate(
+                [jnp.zeros((3, 3, 3), dtype=x.dtype), SO3.d2r_exp(wx)], axis=2
+            )  # (3,3,6): Jr depends on w only
+            dQ = self._dQr_blocks(x)
+            # assemble [[dJ, dQ], [0, dJ]] per derivative direction
+            top = jnp.concatenate([dJ, dQ], axis=1)
+            bot = jnp.concatenate([z336, dJ], axis=1)
+            return jnp.concatenate([top, bot], axis=0)
 
     def d2r_expinv(self, x):
-        wx = x[3:]
-        Ji = SO3.dr_expinv(wx)
-        Q = self._Q(-x[:3], -wx)
-        dJi = jnp.concatenate(
-            [jnp.zeros((3, 3, 3), dtype=x.dtype), SO3.d2r_expinv(wx)], axis=2
-        )  # (3,3,6)
-        dQ = self._dQr_blocks(x)
-        # d(-Ji Q Ji) by product rule, batched over the derivative axis
-        dB = -(
-            jnp.einsum("ijk,jl,lm->imk", dJi, Q, Ji)
-            + jnp.einsum("ij,jlk,lm->imk", Ji, dQ, Ji)
-            + jnp.einsum("ij,jl,lmk->imk", Ji, Q, dJi)
-        )
-        z336 = jnp.zeros((3, 3, 6), dtype=x.dtype)
-        top = jnp.concatenate([dJi, dB], axis=1)
-        bot = jnp.concatenate([z336, dJi], axis=1)
-        return jnp.concatenate([top, bot], axis=0)
+        with jax.default_matmul_precision("highest"):
+            wx = x[3:]
+            Ji = SO3.dr_expinv(wx)
+            Q = self._Q(-x[:3], -wx)
+            dJi = jnp.concatenate(
+                [jnp.zeros((3, 3, 3), dtype=x.dtype), SO3.d2r_expinv(wx)], axis=2
+            )  # (3,3,6)
+            dQ = self._dQr_blocks(x)
+            # d(-Ji Q Ji) by product rule, batched over the derivative axis
+            dB = -(
+                jnp.einsum("ijk,jl,lm->imk", dJi, Q, Ji)
+                + jnp.einsum("ij,jlk,lm->imk", Ji, dQ, Ji)
+                + jnp.einsum("ij,jl,lmk->imk", Ji, Q, dJi)
+            )
+            z336 = jnp.zeros((3, 3, 6), dtype=x.dtype)
+            top = jnp.concatenate([dJi, dB], axis=1)
+            bot = jnp.concatenate([z336, dJi], axis=1)
+            return jnp.concatenate([top, bot], axis=0)
 
     def normalize(self, g):
         return jnp.concatenate([g[:3], g[3:] / jnp.linalg.norm(g[3:])])

@@ -65,7 +65,10 @@ def make_sharded_fleet_step(fleet_fn, mesh: Mesh, axis_name: str = "dp"):
     dp_tree = lambda tree: jax.tree.map(lambda _: dp, tree)
 
     def sharded(warmstarts, t, xs):
-        in_specs = (dp_tree(warmstarts), P(), dp)
+        # a scalar clock replicates; a per-member (B,) time vector shards
+        # along the batch axis like the states
+        t_spec = dp if np.ndim(t) >= 1 else P()
+        in_specs = (dp_tree(warmstarts), t_spec, dp)
         # result leaves are all batch-leading (u, status, warmstart, trajs)
         out_shape = jax.eval_shape(fleet_fn, warmstarts, t, xs)
         out_specs = dp_tree(out_shape)

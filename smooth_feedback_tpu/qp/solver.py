@@ -453,11 +453,33 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         # XLA shared-GEMM path below — same math, streamed from HBM
         if use_pallas:
             if shared:
+                # straggler sort: each kernel block iterates until its
+                # slowest member converges; clustering predicted-hard members
+                # (by previous-solve iteration count) into the same blocks
+                # frees the easy blocks to exit early.  Exact: a pure batch
+                # permutation, inverted on the way out.
+                do_sort = prm.sort_stragglers and warmstart is not None
+                if do_sort:
+                    perm = jnp.argsort(warmstart.iters)
+                    inv_perm = jnp.argsort(perm)
+                    take = lambda a: a[perm]
+                    qs, ls, us, l_s, u_s, x0, z0, y0, status0 = (
+                        take(qs), take(ls), take(us), take(l), take(u),
+                        take(x0), take(z0), take(y0), take(status0),
+                    )
+                else:
+                    l_s, u_s = l, u
                 x, z, y, status, iters, pres, dres = admm_iterate_pallas_shared(
                     prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,
-                    l, u, x0, z0, y0, status0, interpret=interp,
+                    l_s, u_s, x0, z0, y0, status0, interpret=interp,
                     block=prm.pallas_block,
                 )
+                if do_sort:
+                    x, z, y, status, iters, pres, dres = (
+                        x[inv_perm], z[inv_perm], y[inv_perm],
+                        status[inv_perm], iters[inv_perm],
+                        pres[inv_perm], dres[inv_perm],
+                    )
             else:
                 x, z, y, status, iters, pres, dres = admm_iterate_pallas(
                     prm, Minv, As, Ps, qs, ls, us, rho, sx, sy, c,

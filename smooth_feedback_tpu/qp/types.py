@@ -94,6 +94,14 @@ class QPSolverParams:
     # grow the MXU GEMMs, at the cost of coupling more problems to the
     # slowest member's iteration count.
     pallas_block: int = 128
+    # Shared-matrix Pallas path: permute the batch by the warmstart's
+    # previous iteration counts before blocking.  Each grid block's
+    # while_loop runs until its SLOWEST member converges; in warmstarted
+    # closed loops per-member difficulty persists across steps, so sorting
+    # clusters the stragglers into few blocks instead of making every block
+    # pay the straggler price.  Results are inverse-permuted (exact — the
+    # problems are independent).  No reference analog (serial solver).
+    sort_stragglers: bool = False
     # Print batch residual summaries at every stopping check (the analog of
     # the reference's verbose iteration rows, qp_solver.hpp:409-419); uses
     # jax.debug.print, XLA backend only.

@@ -371,3 +371,54 @@ def test_se3_closed_loop_tracking():
     final_err = np.linalg.norm(np.asarray(SE3.rminus(xf, xdes(100 * dt))))
     assert final_err < 0.05, f"final pose error {final_err}"
     assert np.all(np.asarray(statuses) == QPSolutionStatus.Optimal)
+
+
+def test_reuse_factors_noncommutative_general_paths():
+    """With a non-commutative state group and reuse_factors=True, the
+    per-member transcription paths (step, step.fleet) must NOT iterate
+    against the identity-row template factors — their true IC rows carry
+    dr_expinv(c), and mismatched matrices leave a stationarity floor that
+    stalls the stopping check (code-review finding r3).  They fall back to
+    per-solve factorization and must return Optimal, matching the
+    reuse_factors=False results; fleet_shared_t keeps the shared factors."""
+    X, U = SE2, Rn(2)
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros(()), u[1]])
+    twist = jnp.array([0.5, 0.0, 0.3])
+    xdes = lambda t: SE2.exp(t * twist)
+    udes = lambda t: jnp.stack([twist[0], twist[2]])
+    dxdes = lambda t: twist
+
+    def build(reuse):
+        return make_mpc_step(
+            X, U, f, xdes, udes, dxdes=dxdes,
+            weights=MPCWeights(Q=jnp.eye(3), Qtf=5 * jnp.eye(3), R=0.1 * jnp.eye(2)),
+            params=MPCParams(K=8, tf=3.0),
+            reuse_factors=reuse,
+        )
+
+    step_r, ws0 = build(True)
+    step_n, _ = build(False)
+    t = 0.7
+    # state substantially offset from the reference: dr_expinv(c) far from I
+    x = SE2.rplus(xdes(t), jnp.array([0.35, -0.3, 0.45]))
+
+    r_reuse = step_r(ws0, t, x)
+    r_plain = step_n(ws0, t, x)
+    assert int(r_reuse.status) == QPSolutionStatus.Optimal
+    assert int(r_plain.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(
+        np.asarray(r_reuse.u), np.asarray(r_plain.u), atol=1e-4
+    )
+
+    # fleet path likewise
+    B = 3
+    xs = jax.vmap(lambda k: SE2.rplus(xdes(t), 0.4 * jax.random.normal(k, (3,))))(
+        jax.random.split(jax.random.PRNGKey(8), B)
+    )
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
+    rf = jax.jit(step_r.fleet)(wss, t, xs)
+    assert np.all(np.asarray(rf.status) == QPSolutionStatus.Optimal)
+    # and the shared-transcription path still uses the (valid) template
+    rs = jax.jit(step_r.fleet_shared_t)(wss, t, xs)
+    assert np.all(np.asarray(rs.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(rs.u), np.asarray(rf.u), atol=1e-3)

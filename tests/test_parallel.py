@@ -93,41 +93,16 @@ def test_bench_config_pallas_sharded(mesh):
     (VERDICT r2 weak #2: this composition was never exercised under
     sharding).  Pallas runs in interpret mode on the CPU mesh; on hardware
     the same shard_map runs the fused kernel per chip."""
-    from smooth_feedback_tpu.controllers import MPCParams, MPCWeights, make_mpc_step
-    from smooth_feedback_tpu.groups import Rn
+    import sys
+
     from smooth_feedback_tpu.parallel import make_sharded_fleet_step
 
-    dtype = jnp.float32
-    X, U = Rn(2), Rn(1)
-    f = lambda x, u: jnp.stack([x[1], u[0]])
-    xdes = lambda t: jnp.stack([-0.5 * jnp.sin(0.3 * t), -0.15 * jnp.cos(0.3 * t)])
-    udes = lambda t: jnp.zeros(1, dtype)
-
-    step, ws0 = make_mpc_step(
-        X, U, f, xdes, udes,
-        weights=MPCWeights(
-            Q=jnp.eye(2, dtype=dtype),
-            Qtf=0.1 * jnp.eye(2, dtype=dtype),
-            R=0.1 * jnp.eye(1, dtype=dtype),
-        ),
-        params=MPCParams(
-            K=8, tf=5.0, return_trajectories=False,
-            qp=QPSolverParams(
-                scaling=True, polish=False, rho=2.0, rho_eq_scale=15.0,
-                max_iter=100, stop_check_iter=10, backend="pallas",
-                pallas_block=256,
-            ),
-        ),
-        cr=lambda x, u: u,
-        crl=jnp.array([-0.5], dtype),
-        cru=jnp.array([0.5], dtype),
-        dtype=dtype,
-        reuse_factors=True,
-    )
+    # the one canonical copy of the bench solver configuration
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _build_fleet
 
     B = 2 * len(jax.devices())
-    xs = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (B, 2), dtype)
-    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
+    step, wss, xs = _build_fleet(B=B, K=8, bench_config=True)
 
     r_local = jax.jit(step.fleet_shared_t)(wss, 0.3, xs)
 

@@ -630,3 +630,41 @@ def test_pallas_shared_vmem_gate_falls_back(monkeypatch):
     np.testing.assert_allclose(np.asarray(sp.primal), np.asarray(sx.primal), atol=1e-12)
     assert np.array_equal(np.asarray(sp.status), np.asarray(sx.status))
     assert np.all(np.asarray(sx.status) == QPSolutionStatus.Optimal)
+
+
+def test_sort_stragglers_exact():
+    """sort_stragglers permutes the batch into kernel blocks by predicted
+    difficulty and inverse-permutes the results — per-member iterates are
+    freeze-masked independently, so outputs must be IDENTICAL to the
+    unsorted solve (interpret mode on CPU)."""
+    import dataclasses
+
+    from smooth_feedback_tpu.qp import qp_factorize
+
+    n, m, B = 7, 9, 12
+    qp1 = random_qp(jax.random.PRNGKey(7), n=n, m=m, dtype=jnp.float32)
+    shift = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (B, m), jnp.float32)
+    qps = QuadraticProgram(
+        P=qp1.P[None],
+        q=jnp.broadcast_to(qp1.q[None], (B, n)),
+        A=qp1.A[None],
+        l=qp1.l[None] + shift,
+        u=qp1.u[None] + shift,
+    )
+    prm = QPSolverParams(max_iter=2000, polish=False, backend="pallas",
+                         pallas_block=128)
+    prm_sorted = dataclasses.replace(prm, sort_stragglers=True)
+    fac_b = qp_factorize(jax.tree.map(lambda a: a[None], qp1), prm)
+    fac1 = jax.tree.map(lambda a: a[0], fac_b)
+
+    base = solve_qp_batch(qps, prm, None, fac1)
+    assert np.all(np.asarray(base.status) == QPSolutionStatus.Optimal)
+    # warmstart with scrambled "previous iters" so the permutation is
+    # nontrivial
+    ws = base._replace(
+        iters=jnp.asarray(np.random.default_rng(0).permutation(B) * 7, jnp.int32)
+    )
+    r_plain = solve_qp_batch(qps, prm, ws, fac1)
+    r_sorted = solve_qp_batch(qps, prm_sorted, ws, fac1)
+    for a, b in zip(r_plain, r_sorted):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
