@@ -293,6 +293,14 @@ def _admm_kernel_shared(
     uv_fin = jnp.where(uv >= inf, 0.0, uv)
     lv_fin = jnp.where(lv <= -inf, 0.0, lv)
 
+    # NOTE a bf16-input/f32-accumulate variant of the update GEMMs was
+    # measured and REJECTED: the ADMM fixed point wanders at bf16 input-
+    # rounding scale (~1e-3 relative), so no element ever certifies the
+    # eps=1e-3 stopping criterion (0/2048 Optimal vs 2048/2048 in f32), and
+    # warmstarted closed loops iterate mostly below that noise floor anyway.
+    # (Mosaic detail for future attempts: bf16 operands need an explicit
+    # precision=DEFAULT — the solver-wide "highest" scope otherwise makes
+    # Mosaic reject the matmul with "Bad lhs type".)
     def mm(V, M):  # (G, k) @ (k, j)
         return jnp.dot(V, M, preferred_element_type=f32)
 
