@@ -422,3 +422,107 @@ def test_reuse_factors_noncommutative_general_paths():
     rs = jax.jit(step_r.fleet_shared_t)(wss, t, xs)
     assert np.all(np.asarray(rs.status) == QPSolutionStatus.Optimal)
     np.testing.assert_allclose(np.asarray(rs.u), np.asarray(rf.u), atol=1e-3)
+
+
+def _di_tracking_setup(dtype=None):
+    X, U = Rn(2), Rn(1)
+    f = lambda x, u: jnp.stack([x[1], u[0]])
+    xdes = lambda t: jnp.stack([-0.5 * jnp.sin(0.3 * t), -0.15 * jnp.cos(0.3 * t)])
+    udes = lambda t: jnp.zeros(1, dtype)
+    weights = MPCWeights(
+        Q=jnp.eye(2, dtype=dtype), Qtf=0.1 * jnp.eye(2, dtype=dtype),
+        R=0.1 * jnp.eye(1, dtype=dtype),
+    )
+    return X, U, f, xdes, udes, weights
+
+
+def test_condensed_matches_sparse():
+    """condense=True produces the SAME minimizer as the sparse (block-
+    banded) transcription: the eliminated dynamics/IC rows hold by
+    construction, so u, trajectories, and the full-space objective must
+    match the fleet_shared_t path at solver tolerance."""
+    X, U, f, xdes, udes, weights = _di_tracking_setup()
+    qp_prm = QPSolverParams(eps_abs=1e-9, eps_rel=1e-9, max_iter=20000,
+                            polish=True)
+
+    def build(cond):
+        return make_mpc_step(
+            X, U, f, xdes, udes, weights=weights,
+            params=MPCParams(K=12, tf=5.0, qp=qp_prm),
+            cr=lambda x, u: u, crl=jnp.array([-0.5]), cru=jnp.array([0.5]),
+            reuse_factors=True, condense=cond,
+        )
+
+    step_s, ws_s = build(False)
+    step_c, ws_c = build(True)
+
+    B = 5
+    xs = 0.7 * jax.random.normal(jax.random.PRNGKey(3), (B, 2))
+    wss_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws_s)
+    wss_c = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws_c)
+
+    rs = jax.jit(step_s.fleet_shared_t)(wss_s, 0.9, xs)
+    rc = jax.jit(step_c.fleet_shared_t)(wss_c, 0.9, xs)
+    assert np.all(np.asarray(rs.status) == QPSolutionStatus.Optimal)
+    assert np.all(np.asarray(rc.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(rc.u), np.asarray(rs.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rc.x_traj), np.asarray(rs.x_traj), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rc.u_traj), np.asarray(rs.u_traj), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rc.warmstart.objective),
+        np.asarray(rs.warmstart.objective), atol=1e-6,
+    )
+
+    # single-controller path + closed loop stays Optimal with warmstart carry
+    def body(carry, i):
+        x, ws = carry
+        res = step_c(ws, i * 0.05, x)
+        x = x + 0.05 * jnp.stack([x[1], res.u[0]])
+        return (x, res.warmstart), res.status
+    (xf, _), sts = jax.lax.scan(body, (jnp.array([1.0, 0.0]), ws_c), jnp.arange(60))
+    assert np.all(np.asarray(sts) == QPSolutionStatus.Optimal)
+
+
+def test_condensed_se2_matches_sparse():
+    """Condensation through the non-commutative ad-correction: SE(2)
+    vehicle tracking a screw, condensed vs sparse parity."""
+    X, U = SE2, Rn(2)
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros(()), u[1]])
+    twist = jnp.array([0.5, 0.0, 0.3])
+    xdes = lambda t: SE2.exp(t * twist)
+    udes = lambda t: jnp.stack([twist[0], twist[2]])
+    dxdes = lambda t: twist
+    qp_prm = QPSolverParams(eps_abs=1e-9, eps_rel=1e-9, max_iter=20000,
+                            polish=True)
+
+    def build(cond):
+        return make_mpc_step(
+            X, U, f, xdes, udes, dxdes=dxdes,
+            weights=MPCWeights(Q=jnp.eye(3), Qtf=5 * jnp.eye(3),
+                               R=0.1 * jnp.eye(2)),
+            params=MPCParams(K=8, tf=3.0, qp=qp_prm),
+            cr=lambda x, u: u, crl=jnp.array([-1.0, -1.0]),
+            cru=jnp.array([1.0, 1.0]),
+            reuse_factors=True, condense=cond,
+        )
+
+    step_s, ws_s = build(False)
+    step_c, ws_c = build(True)
+    B = 4
+    offs = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (B, 3))
+    t = 0.6
+    xs = jax.vmap(lambda w: SE2.rplus(xdes(t), w))(offs)
+    wss_s = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws_s)
+    wss_c = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws_c)
+    rs = jax.jit(step_s.fleet_shared_t)(wss_s, t, xs)
+    rc = jax.jit(step_c.fleet_shared_t)(wss_c, t, xs)
+    assert np.all(np.asarray(rs.status) == QPSolutionStatus.Optimal)
+    assert np.all(np.asarray(rc.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(rc.u), np.asarray(rs.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rc.x_traj), np.asarray(rs.x_traj), atol=1e-6
+    )
