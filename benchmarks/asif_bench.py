@@ -78,9 +78,11 @@ def build(dtype):
         cru=jnp.array([0.5, 0.5], dtype),
         dtype=dtype,
         # the vehicle problem is LTI along the screw reference (constant
-        # velocity nominal): scaling + factorization computed once, and the
-        # fleet shares one transcription + GEMM iterations per step
+        # velocity nominal): scaling + factorization computed once, the
+        # fleet shares one transcription per step, and the states are
+        # eliminated at construction (condensed MPC — exact, parity-tested)
         reuse_factors=True,
+        condense=True,
     )
 
     def h(t, x):
