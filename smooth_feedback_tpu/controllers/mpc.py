@@ -98,10 +98,21 @@ def _build_condensation(qp0: QuadraticProgram, lay: dict, dtype):
     E_x = A0[:dL, :xL]
     E_u = A0[:dL, xL:]
     T = np.concatenate([IC[:, :xL], E_x], axis=0)  # (xL, xL)
+    # Condensation error in the WORKING dtype scales ~cond(T) * eps(dtype)
+    # (the classic condensed-MPC blowup for unstable dynamics over long
+    # horizons: transition products grow exponentially).  Gate so that the
+    # worst-case amplification stays well under typical QP tolerances —
+    # measured healthy cases: DI K=50 cond 6.4e3, K=200 4.8e4 (f32 limit
+    # here: 2.5e5).  Use the sparse form (condense=False) beyond it.
     condT = np.linalg.cond(T)
-    if not np.isfinite(condT) or condT > 1e12:
+    eps_w = float(jnp.finfo(jnp.asarray(0.0, dtype).dtype).eps)
+    limit = 0.03 / eps_w
+    if not np.isfinite(condT) or condT > limit:
         raise ValueError(
-            f"condense: dynamics/IC system is ill-conditioned (cond {condT:.1e})"
+            f"condense: dynamics/IC system too ill-conditioned for the "
+            f"working dtype (cond {condT:.1e} > {limit:.1e}); state "
+            "recovery would lose the digits the QP tolerance needs — use "
+            "condense=False (sparse form) or a wider dtype"
         )
     C0 = np.linalg.inv(T)
     Wx = -C0 @ np.concatenate([np.zeros((nx, uL)), E_u], axis=0)  # (xL, uL)
@@ -283,9 +294,11 @@ def make_mpc_step(
     lay = variable_layout(ocp_probe, mesh)
     N, uvar_B, xvar_L = lay["N"], lay["uvar_B"], lay["xvar_L"]
 
-    def _finalize(sol: QPSolution, warmstart: QPSolution, t) -> MPCStepResult:
-        du0 = sol.primal[uvar_B : uvar_B + nu]
-        u = U.rplus(udes(t), du0)
+    def _finalize_from(sol, warmstart, t, du_all, dx_all) -> MPCStepResult:
+        """Shared result assembly for the sparse and condensed paths:
+        ``du_all`` (N, nu) / ``dx_all`` (N+1, nx) are the deviation
+        trajectories in each path's own recovery (unused ones are DCE'd)."""
+        u = U.rplus(udes(t), du_all[0])
 
         # accept warmstart on Optimal / MaxIterations / MaxTime (mpc.hpp:510-516)
         ok = (
@@ -299,15 +312,24 @@ def make_mpc_step(
         # reference outputs them optionally and so do we — static flag)
         if params.return_trajectories:
             taus = jnp.asarray(np.asarray(mesh.all_nodes()), dtype)
-            du = sol.primal[uvar_B:].reshape(N, nu)
-            dx = sol.primal[:xvar_L].reshape(N + 1, nx)
-            u_traj = jax.vmap(lambda s, d: U.rplus(udes(t + tf * s), d))(taus[:N], du)
-            x_traj = jax.vmap(lambda s, d: X.rplus(xdes(t + tf * s), d))(taus, dx)
+            u_traj = jax.vmap(lambda s, d: U.rplus(udes(t + tf * s), d))(
+                taus[:N], du_all
+            )
+            x_traj = jax.vmap(lambda s, d: X.rplus(xdes(t + tf * s), d))(
+                taus, dx_all
+            )
         else:
             u_traj = x_traj = None
 
         return MPCStepResult(
             u=u, status=sol.status, warmstart=new_ws, u_traj=u_traj, x_traj=x_traj
+        )
+
+    def _finalize(sol: QPSolution, warmstart: QPSolution, t) -> MPCStepResult:
+        return _finalize_from(
+            sol, warmstart, t,
+            sol.primal[uvar_B:].reshape(N, nu),
+            sol.primal[:xvar_L].reshape(N + 1, nx),
         )
 
     if reuse_factors:
@@ -489,31 +511,11 @@ def make_mpc_step(
         cond_factors = jax.tree.map(lambda a: a[0], _qp_factorize(qc0, params.qp))
 
         def _cond_finalize(sol, warmstart, t, wx):
-            du0 = sol.primal[:nu]  # first input block
-            u = U.rplus(udes(t), du0)
-            ok = (
-                (sol.status == QPSolutionStatus.Optimal)
-                | (sol.status == QPSolutionStatus.MaxIterations)
-                | (sol.status == QPSolutionStatus.MaxTime)
-            )
-            new_ws = jax.tree.map(
-                lambda new, old: jnp.where(ok, new, old), sol, warmstart
-            )
-            if params.return_trajectories:
-                taus = jnp.asarray(np.asarray(mesh.all_nodes()), dtype)
-                du = sol.primal.reshape(N, nu)
-                dx = (cond["Wx"] @ sol.primal + wx).reshape(N + 1, nx)
-                u_traj = jax.vmap(lambda s, d: U.rplus(udes(t + tf * s), d))(
-                    taus[:N], du
-                )
-                x_traj = jax.vmap(lambda s, d: X.rplus(xdes(t + tf * s), d))(
-                    taus, dx
-                )
-            else:
-                u_traj = x_traj = None
-            return MPCStepResult(
-                u=u, status=sol.status, warmstart=new_ws, u_traj=u_traj,
-                x_traj=x_traj,
+            # state deviations recovered affinely from the condensed primal
+            return _finalize_from(
+                sol, warmstart, t,
+                sol.primal.reshape(N, nu),
+                (cond["Wx"] @ sol.primal + wx).reshape(N + 1, nx),
             )
 
         def fleet_shared_t_condensed(warmstarts: QPSolution, t, xs) -> MPCStepResult:
@@ -521,37 +523,41 @@ def make_mpc_step(
             variable QPs with only the running-constraint rows; the state
             deviations are recovered affinely.  Same minimizer as the sparse
             form (parity-tested)."""
-            t = jnp.asarray(t, dtype)
-            B = int(xs.shape[0])
-            b_dyn, lcr, ucr, qx, qu = _cond_pieces(t)
-            b0 = -jax.vmap(lambda x: X.rminus(xdes(t), x))(xs)  # (B, nx)
+            # these per-step matmuls are the only MPC linear algebra outside
+            # the transcription/solver scopes — TPU bf16-default would
+            # silently perturb q_c and the constraint bounds ~1e-3..1e-2
+            with jax.default_matmul_precision("highest"):
+                t = jnp.asarray(t, dtype)
+                B = int(xs.shape[0])
+                b_dyn, lcr, ucr, qx, qu = _cond_pieces(t)
+                b0 = -jax.vmap(lambda x: X.rminus(xdes(t), x))(xs)  # (B, nx)
 
-            wx_shared = cond["C0d"] @ b_dyn  # (xL,)
-            wx = b0 @ cond["C0b"].T + wx_shared[None]  # (B, xL)
-            q_c = wx @ cond["M1"].T + (cond["Wx"].T @ qx + qu)[None]  # (B, uL)
-            if crL > 0:
-                shift = wx @ cond["Bsh"].T  # (B, crL)
-                l_b = lcr[None] - shift
-                u_b = ucr[None] - shift
-            else:
-                l_b = jnp.full((B, 1), -jnp.inf, dtype)
-                u_b = jnp.full((B, 1), jnp.inf, dtype)
+                wx_shared = cond["C0d"] @ b_dyn  # (xL,)
+                wx = b0 @ cond["C0b"].T + wx_shared[None]  # (B, xL)
+                q_c = wx @ cond["M1"].T + (cond["Wx"].T @ qx + qu)[None]  # (B, uL)
+                if crL > 0:
+                    shift = wx @ cond["Bsh"].T  # (B, crL)
+                    l_b = lcr[None] - shift
+                    u_b = ucr[None] - shift
+                else:
+                    l_b = jnp.full((B, 1), -jnp.inf, dtype)
+                    u_b = jnp.full((B, 1), jnp.inf, dtype)
 
-            qps = QuadraticProgram(
-                P=cond["Pc"][None], q=q_c, A=Ac[None], l=l_b, u=u_b
-            )
-            sols = solve_qp_batch(
-                qps, params.qp,
-                warmstarts if params.warmstart else None, cond_factors,
-            )
-            # report the FULL-space objective (the du-space one misses the
-            # affine offset of the eliminated states)
-            off = 0.5 * jnp.einsum(
-                "bi,ij,bj->b", wx, cond["P_xx"], wx
-            ) + wx @ qx
-            sols = sols._replace(objective=sols.objective + off)
-            ts = jnp.broadcast_to(t, (B,))
-            return jax.vmap(_cond_finalize)(sols, warmstarts, ts, wx)
+                qps = QuadraticProgram(
+                    P=cond["Pc"][None], q=q_c, A=Ac[None], l=l_b, u=u_b
+                )
+                sols = solve_qp_batch(
+                    qps, params.qp,
+                    warmstarts if params.warmstart else None, cond_factors,
+                )
+                # report the FULL-space objective (the du-space one misses
+                # the affine offset of the eliminated states)
+                off = 0.5 * jnp.einsum(
+                    "bi,ij,bj->b", wx, cond["P_xx"], wx
+                ) + wx @ qx
+                sols = sols._replace(objective=sols.objective + off)
+                ts = jnp.broadcast_to(t, (B,))
+                return jax.vmap(_cond_finalize)(sols, warmstarts, ts, wx)
 
         def step_condensed(warmstart: QPSolution, t, x) -> MPCStepResult:
             res = fleet_shared_t_condensed(
