@@ -32,6 +32,7 @@ def main(steps: int = 1200):
         crl=jnp.array([-0.5]),
         cru=jnp.array([0.5]),
         reuse_factors=True,  # LTI problem: factorize once
+        condense=True,  # and eliminate the states against the template
     )
 
     dt = 0.05
