@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 8192  # fleet size (throughput-optimal on v5e: 1.63M solves/s at 5.0 ms/step
-#           in the true closed loop; smaller fleets for latency-bound use)
+B = 8192  # fleet size (condensed true closed loop on v5e: 9.58M solves/s at
+#           0.85 ms/step; 4.63M at B=2048, 2.84M at B=1024 — condensed GEMMs
+#           are small enough that throughput still grows ~2x per doubling)
 NSCAN = 100  # MPC steps chained per device dispatch (tunnel dispatch is
 #              ~30 ms, so short chains are dispatch-bound)
 K = 50  # horizon; override: python bench.py [K] [B].  K=100 (padded 384) runs
@@ -91,7 +92,7 @@ def main():
         # condensed MPC: states eliminated against the template at
         # construction, so the per-step QP is N*nu variables (padded 128 vs
         # 256) — EXACT same minimizer (tests/test_mpc.py parity) at ~6x the
-        # sparse-form throughput (9.84M vs 1.63M solves/s measured)
+        # sparse-form throughput (9.58M vs 1.63M solves/s measured)
         condense=True,
     )
 

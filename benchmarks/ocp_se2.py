@@ -12,7 +12,7 @@ Two protocols, selected by CLI flag:
 
   python benchmarks/ocp_se2.py            # CPU f64, SQP tol 1e-6 (the
                                           # reference-parity accuracy protocol)
-  python benchmarks/ocp_se2.py --tpu      # real-TPU f32, tol 2e-4 (the
+  python benchmarks/ocp_se2.py --tpu      # real-TPU f32, tol 1e-2 (the
                                           # on-device throughput protocol;
                                           # f64 emulation faults on this
                                           # program shape)

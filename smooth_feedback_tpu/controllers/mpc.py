@@ -86,9 +86,14 @@ def _build_condensation(qp0: QuadraticProgram, lay: dict, dtype):
     P0 = np.asarray(qp0.P, np.float64)
 
     IC = A0[ceB : ceB + nx, :]
+    # The template is transcribed in the WORKING dtype, so its IC rows carry
+    # O(eps(dtype)) rounding dust (e.g. dr_expinv(rminus(xdes(0), xdes(0)))
+    # is I + ~1e-7 in f32 for group states); gate at 50*eps like
+    # validate_reuse rather than a fixed f64-scale atol.
+    tol_ic = 50 * float(jnp.finfo(jnp.asarray(0.0, dtype).dtype).eps)
     if not (
-        np.allclose(IC[:, :nx], np.eye(nx), atol=1e-9)
-        and np.allclose(IC[:, nx:], 0.0, atol=1e-9)
+        np.allclose(IC[:, :nx], np.eye(nx), atol=tol_ic)
+        and np.allclose(IC[:, nx:], 0.0, atol=tol_ic)
     ):
         raise ValueError(
             "condense: template initial-condition rows are not the identity "
@@ -284,7 +289,12 @@ def make_mpc_step(
             cel=jnp.zeros((nx,), dtype),
             ceu=jnp.zeros((nx,), dtype),
         )
-        return ocp_to_qp(ocp, mesh, tf, xl_fun, ul_fun, dxl_fun)
+        qp1 = ocp_to_qp(ocp, mesh, tf, xl_fun, ul_fun, dxl_fun)
+        # ocp_to_qp assembles with the mesh's f64 LGR tables when x64 is
+        # enabled, which silently promotes a requested-f32 build to f64 (and
+        # crashes the condensed path with mixed f32/f64 QP members).  Pin the
+        # emitted QP to the working dtype; dtype=None leaves it unchanged.
+        return jax.tree.map(lambda a: jnp.asarray(a, dtype), qp1)
 
     ocp_probe = OCP(
         X=X, U=U, theta=None, f=None, g=lambda *a: jnp.zeros((1,)),

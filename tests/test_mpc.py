@@ -526,3 +526,43 @@ def test_condensed_se2_matches_sparse():
     np.testing.assert_allclose(
         np.asarray(rc.x_traj), np.asarray(rs.x_traj), atol=1e-6
     )
+
+
+def test_condensed_f32_group_state_offset_reference():
+    """Regression: f32 condensation of a group-state MPC whose reference is
+    NOT at the identity at t=0.  The f32-transcribed template's
+    initial-condition rows are I + O(eps_f32) rounding dust, which a fixed
+    f64-scale atol spuriously rejected; the gate must scale with the working
+    dtype.  Construction must succeed and one step must match the sparse
+    form at f32 tolerance."""
+    X, U = SE2, Rn(2)
+    dt32 = jnp.float32
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros((), dt32), u[1]])
+    twist = jnp.array([0.5, 0.0, 0.3], dt32)
+    xdes = lambda t: SE2.exp((t + 1.0) * twist)  # xdes(0) = exp(twist) != id
+    udes = lambda t: jnp.stack([twist[0], twist[2]])
+    dxdes = lambda t: twist
+    # f32-achievable tolerance (the sparse K=8 SE(2) QP stalls at 1e-5 in f32)
+    qp_prm = QPSolverParams(eps_abs=1e-4, eps_rel=1e-4, max_iter=8000)
+
+    def build(cond):
+        return make_mpc_step(
+            X, U, f, xdes, udes, dxdes=dxdes,
+            weights=MPCWeights(Q=jnp.eye(3, dtype=dt32),
+                               Qtf=5 * jnp.eye(3, dtype=dt32),
+                               R=0.1 * jnp.eye(2, dtype=dt32)),
+            params=MPCParams(K=8, tf=3.0, qp=qp_prm),
+            cr=lambda x, u: u, crl=jnp.array([-1.0, -1.0], dt32),
+            cru=jnp.array([1.0, 1.0], dt32),
+            dtype=dt32, reuse_factors=True, condense=cond,
+        )
+
+    step_s, ws_s = build(False)
+    step_c, ws_c = build(True)  # regression: used to raise ValueError
+    t = jnp.asarray(0.6, dt32)
+    x = SE2.rplus(xdes(t), jnp.array([0.2, -0.1, 0.15], dt32))
+    rs = jax.jit(step_s)(ws_s, t, x)
+    rc = jax.jit(step_c)(ws_c, t, x)
+    assert int(rs.status) == QPSolutionStatus.Optimal
+    assert int(rc.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(np.asarray(rc.u), np.asarray(rs.u), atol=1e-3)

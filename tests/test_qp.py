@@ -641,7 +641,10 @@ def test_sort_stragglers_exact():
 
     from smooth_feedback_tpu.qp import qp_factorize
 
-    n, m, B = 7, 9, 12
+    # B > 2*pallas_block with a ragged tail: the permutation must move
+    # members ACROSS kernel-block boundaries and interact with the padding
+    # rows of the last block (B=20 over G=8 blocks -> 3 blocks, last ragged).
+    n, m, B = 7, 9, 20
     qp1 = random_qp(jax.random.PRNGKey(7), n=n, m=m, dtype=jnp.float32)
     shift = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (B, m), jnp.float32)
     qps = QuadraticProgram(
@@ -652,7 +655,7 @@ def test_sort_stragglers_exact():
         u=qp1.u[None] + shift,
     )
     prm = QPSolverParams(max_iter=2000, polish=False, backend="pallas",
-                         pallas_block=128)
+                         pallas_block=8)
     prm_sorted = dataclasses.replace(prm, sort_stragglers=True)
     fac_b = qp_factorize(jax.tree.map(lambda a: a[None], qp1), prm)
     fac1 = jax.tree.map(lambda a: a[0], fac_b)
