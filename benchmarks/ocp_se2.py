@@ -98,10 +98,16 @@ def main(B=None):
         # (measured: problems either converge in ~7-9 SQP iterations or stall
         # in the 3e-4..9e-3 band; most reach far below 1e-2 — see median_kkt
         # in the output).  The 1e-6 protocol is the CPU f64 run.
+        # qp max_iter: the inner ADMM runs in lockstep across the vmapped
+        # batch, so one straggler that cannot reach eps 1e-6 in f32 makes
+        # EVERY element burn the full budget each SQP iteration — the sweep
+        # is ~linear in this cap.  Measured (B=64): 4000 -> 10.2 solves/s,
+        # 2000 -> 16.4, 1200 -> 26.5, all 100% Optimal; median KKT degrades
+        # only from 7.3e-4 (4000) to 1.0e-3 (1200), still 10x under tol.
         prm = SQPParams(
             max_iter=60, tol=1e-2,
             qp=QPSolverParams(
-                eps_abs=1e-6, eps_rel=1e-6, max_iter=4000, polish=True,
+                eps_abs=1e-6, eps_rel=1e-6, max_iter=1200, polish=True,
                 kkt_refine_iters=1,
             ),
         )
