@@ -2,8 +2,13 @@
 
 from .ekf import (
     EKF,
+    EKFFleetState,
     EKFState,
     SqrtEKFState,
+    ekf_fleet_predict,
+    ekf_fleet_reset,
+    ekf_fleet_states,
+    ekf_fleet_update,
     ekf_predict,
     ekf_reset,
     ekf_update,
@@ -15,8 +20,13 @@ from .ekf import (
 
 __all__ = [
     "EKF",
+    "EKFFleetState",
     "EKFState",
     "SqrtEKFState",
+    "ekf_fleet_predict",
+    "ekf_fleet_reset",
+    "ekf_fleet_states",
+    "ekf_fleet_update",
     "ekf_predict",
     "ekf_reset",
     "ekf_update",

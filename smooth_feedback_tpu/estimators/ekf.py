@@ -322,6 +322,247 @@ def sqrt_ekf_update(
     return SqrtEKFState(g=g_new, S=Z)
 
 
+# ---------------------------------------------------------------------------
+# Fleet layout: batch-TRAILING covariance algebra
+# ---------------------------------------------------------------------------
+#
+# TPU arrays tile their two minor dims to (8 sublanes, 128 lanes), so a
+# vmapped fleet's (B, n, n) covariance stack pads n -> 128 on the lanes —
+# ~110x memory waste at n=3, and every small-matrix op in the filter pays it
+# in HBM traffic (measured: the vmapped SO(3) fleet runs ~2.15 ms per
+# 4096-filter predict+update, ~100x off the bandwidth roofline).  Storing the
+# fleet covariance as (n, n, B) puts the FLEET on the lanes instead; all the
+# Riccati/update algebra below is broadcast-multiply-sum over the trailing
+# batch dim (never dot_general, so XLA cannot canonicalize the layout away),
+# with the per-member user callables (f, h and their tangent Jacobians) still
+# evaluated batch-leading and moved across once per step.
+# Measured (v5e, B=4096, scan-chained): 15.0M SO(3) / 12.6M SE(2)
+# predict+update/s vs 1.26M for the vmapped layout.
+
+
+class EKFFleetState(NamedTuple):
+    """Fleet filter state in TPU-native layout.
+
+    ``g`` stays batch-leading (user callables are per-member); ``Pt`` is the
+    covariance stack in batch-trailing layout, ``Pt[:, :, b]`` = member b's
+    covariance."""
+
+    g: jax.Array  # (B, nparams)
+    Pt: jax.Array  # (ndof, ndof, B)
+
+
+def ekf_fleet_reset(
+    G: LieGroup, g: jax.Array, P: Optional[jax.Array] = None
+) -> EKFFleetState:
+    """Create a fleet state from batch-leading inputs.
+
+    ``P`` may be a shared (ndof, ndof) covariance (broadcast to the fleet) or
+    a per-member (B, ndof, ndof) stack (transposed in)."""
+    B = g.shape[0]
+    if P is None:
+        P = jnp.eye(G.ndof, dtype=jnp.result_type(g))
+    P = jnp.asarray(P)
+    if P.ndim == 2:
+        Pt = jnp.broadcast_to(P[:, :, None], (G.ndof, G.ndof, B))
+    else:
+        Pt = jnp.moveaxis(P, 0, -1)
+    return EKFFleetState(g=g, Pt=Pt)
+
+
+def ekf_fleet_states(G: LieGroup, fleet: EKFFleetState) -> EKFState:
+    """Convert back to the batch-leading ``EKFState`` (vmap-compatible)."""
+    return EKFState(g=fleet.g, P=jnp.moveaxis(fleet.Pt, -1, 0))
+
+
+def _mm_t(A, B):
+    """(i,j,b),(j,k,b)->(i,k,b) matrix stack product, batch trailing."""
+    return (A[:, :, None, :] * B[None, :, :, :]).sum(axis=1)
+
+
+def _mv_t(A, x):
+    """(i,j,b),(j,b)->(i,b)."""
+    return (A * x[None, :, :]).sum(axis=1)
+
+
+def _sym_tt(P):
+    return 0.5 * (P + jnp.swapaxes(P, 0, 1))
+
+
+def _chol_t(S):
+    """Unrolled lower Cholesky of an SPD (m, m, B) stack (m static, tiny)."""
+    m = S.shape[0]
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        acc = S[j, j]
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k]
+        d = jnp.sqrt(acc)
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, m):
+            acc = S[i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = acc * inv_d
+    z = jnp.zeros_like(S[0, 0])
+    return jnp.stack(
+        [jnp.stack([L[i][j] if j <= i else z for j in range(m)]) for i in range(m)]
+    )
+
+
+def _chol_solve_t(L, Bm):
+    """Solve (L L') X = Bm with (m,m,B) lower-triangular L, (m,k,B) Bm."""
+    m = Bm.shape[0]
+    Y = [None] * m
+    for i in range(m):
+        acc = Bm[i]
+        for j in range(i):
+            acc = acc - L[i, j][None, :] * Y[j]
+        Y[i] = acc / L[i, i][None, :]
+    X = [None] * m
+    for i in reversed(range(m)):
+        acc = Y[i]
+        for j in range(i + 1, m):
+            acc = acc - L[j, i][None, :] * X[j]
+        X[i] = acc / L[i, i][None, :]
+    return jnp.stack(X)
+
+
+def _noise_t(M, dtype, B):
+    """Shared (n,n) or per-member (B,n,n)/(n,n,B) noise -> (n,n,B)."""
+    M = jnp.asarray(M, dtype)
+    if M.ndim == 2:
+        return M[:, :, None]
+    if M.shape[-1] == B and M.shape[0] == M.shape[1]:
+        return M
+    return jnp.moveaxis(M, 0, -1)
+
+
+def ekf_fleet_predict(
+    G: LieGroup,
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    state: EKFFleetState,
+    Q: jax.Array,
+    tau,
+    n_steps: int = 1,
+    stepper: str = "euler",
+) -> EKFFleetState:
+    """Fleet :func:`ekf_predict` in batch-trailing covariance layout.
+
+    Identical math to ``jax.vmap(ekf_predict)`` (same lockstep ordering and
+    ``A = -ad(f) + d^r f`` linearization, ekf.hpp:85-96) — parity-tested —
+    but ~12x faster on TPU for small-state fleets (layout note above).
+    ``f`` is per-member ``f(t, g) -> (ndof,)``; ``Q`` may be shared (n, n)
+    or per-member (B, n, n)."""
+    if stepper not in ("euler", "rk4"):
+        raise ValueError(f"unknown stepper {stepper!r}")
+    g0, Pt0 = state
+    dtp = Pt0.dtype
+    n, B = G.ndof, g0.shape[0]
+    tau = jnp.asarray(tau, dtp)
+    h = tau / n_steps
+    z = jnp.zeros((n,), dtp)
+    Qt = _noise_t(Q, dtp, B)
+    # ad is linear in v: extract its (constant) generators once so ad(f) can
+    # be assembled directly in trailing layout from the (n, B) velocity stack
+    eye = jnp.eye(n, dtype=dtp)
+    adgen = jnp.stack([G.ad(eye[:, k]) for k in range(n)])  # (n, n, n)
+
+    def At_of(t, g):
+        fv = jax.vmap(lambda gi: f(t, gi))(g)  # (B, n)
+        J = jax.vmap(lambda gi: jax.jacfwd(lambda w: f(t, G.rplus(gi, w)))(z))(g)
+        ad_t = jnp.einsum("kij,kb->ijb", adgen, fv.T)
+        return fv, -ad_t + jnp.moveaxis(J, 0, -1)
+
+    def cov_rhs(At, Pt):
+        AP = _mm_t(At, Pt)
+        return AP + jnp.swapaxes(AP, 0, 1) + Qt
+
+    def body(carry, i):
+        g, Pt = carry
+        t = i * h
+        # covariance first: uses the pre-step estimate (ekf.hpp:95-96)
+        if stepper == "euler":
+            fv, At = At_of(t, g)
+            Pt = _sym_tt(Pt + h * cov_rhs(At, Pt))
+            g = jax.vmap(lambda gi, fi: G.rplus(gi, h * fi))(g, fv)
+        else:  # rk4: stages re-linearize at the stage TIME but the pre-step
+            # estimate g, exactly like ekf_predict's cov_step
+            _, At1 = At_of(t, g)
+            _, At2 = At_of(t + 0.5 * h, g)
+            _, At4 = At_of(t + h, g)
+            k1 = cov_rhs(At1, Pt)
+            k2 = cov_rhs(At2, Pt + 0.5 * h * k1)
+            k3 = cov_rhs(At2, Pt + 0.5 * h * k2)
+            k4 = cov_rhs(At4, Pt + h * k3)
+            Pt = _sym_tt(Pt + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))
+
+            def rk4_state(gi):
+                c1 = f(t, gi)
+                c2 = f(t + 0.5 * h, G.rplus(gi, 0.5 * h * c1))
+                c3 = f(t + 0.5 * h, G.rplus(gi, 0.5 * h * c2))
+                c4 = f(t + h, G.rplus(gi, h * c3))
+                return G.rplus(gi, (h / 6.0) * (c1 + 2 * c2 + 2 * c3 + c4))
+
+            g = jax.vmap(rk4_state)(g)
+        return (g, Pt), None
+
+    with jax.default_matmul_precision("highest"):
+        (g, Pt), _ = jax.lax.scan(body, (g0, Pt0), jnp.arange(n_steps))
+    return EKFFleetState(g=g, Pt=Pt)
+
+
+def ekf_fleet_update(
+    G: LieGroup,
+    h: Callable[[jax.Array], jax.Array],
+    state: EKFFleetState,
+    y: jax.Array,
+    R: jax.Array,
+    Y: Optional[LieGroup] = None,
+) -> EKFFleetState:
+    """Fleet :func:`ekf_update` in batch-trailing covariance layout.
+
+    Same Joseph-form update as ``jax.vmap(ekf_update)`` (ekf.hpp:116-139),
+    parity-tested; the innovation Cholesky runs as an unrolled (m, m, B)
+    stack factorization.  ``y`` is (B, m); ``R`` shared (m, m) or per-member
+    (B, m, m)."""
+    g, Pt = state
+    dtp = Pt.dtype
+    n, B = G.ndof, g.shape[0]
+    z = jnp.zeros((n,), dtp)
+
+    hval = jax.vmap(h)(g)  # (B, m)
+    if Y is None:
+        H = jax.vmap(lambda gi: jax.jacfwd(lambda w: h(G.rplus(gi, w)))(z))(g)
+        innov = y - hval
+    else:
+        H = jax.vmap(
+            lambda gi, hi: jax.jacfwd(
+                lambda w: Y.rminus(h(G.rplus(gi, w)), hi)
+            )(z)
+        )(g, hval)
+        innov = jax.vmap(Y.rminus)(y, hval)
+    m = H.shape[1]
+    Rt = _noise_t(R, dtp, B)
+
+    with jax.default_matmul_precision("highest"):
+        Ht = jnp.moveaxis(H, 0, -1)  # (m, n, B)
+        PHt = _mm_t(Pt, jnp.swapaxes(Ht, 0, 1))  # (n, m, B)
+        S = _mm_t(Ht, PHt) + Rt * jnp.ones((m, m, B), dtp)
+        L = _chol_t(_sym_tt(S))
+        Kt = jnp.swapaxes(_chol_solve_t(L, jnp.swapaxes(PHt, 0, 1)), 0, 1)
+        dg = _mv_t(Kt, innov.T)  # (n, B)
+        g_new = jax.vmap(G.rplus)(g, dg.T)
+        IKH = jnp.broadcast_to(jnp.eye(n, dtype=dtp)[:, :, None], (n, n, B)) - _mm_t(
+            Kt, Ht
+        )
+        Pt_new = _sym_tt(
+            _mm_t(_mm_t(IKH, Pt), jnp.swapaxes(IKH, 0, 1))
+            + _mm_t(_mm_t(Kt, Rt * jnp.ones((m, m, B), dtp)), jnp.swapaxes(Kt, 0, 1))
+        )
+    return EKFFleetState(g=g_new, Pt=Pt_new)
+
+
 class EKF:
     """Thin stateful convenience wrapper mirroring the reference class API
     (ekf.hpp:27).  For batched/jitted use prefer the functional

@@ -282,3 +282,142 @@ def test_iterated_update_improves_nonlinear():
     res_b = float(jnp.abs(h(b.g) - y)[0])
     assert res_b <= res_a * 1e-2, (res_a, res_b)
     np.testing.assert_allclose(float(b.g[0]), 2.0, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# fleet (batch-trailing) layout
+# ---------------------------------------------------------------------------
+
+
+def _fleet_setup(G, B=32, key=7):
+    keys = jax.random.split(jax.random.PRNGKey(key), B)
+    g0 = jax.vmap(lambda k: G.random(k, 0.3))(keys)
+    P0 = jnp.stack(
+        [
+            jnp.eye(G.ndof) * (1.0 + 0.1 * i) + 0.05 * jnp.ones((G.ndof, G.ndof))
+            for i in range(B)
+        ]
+    )
+    return g0, P0
+
+
+@pytest.mark.parametrize("G", [SO3, SE2], ids=["SO3", "SE2"])
+@pytest.mark.parametrize("stepper", ["euler", "rk4"])
+def test_fleet_predict_matches_vmap(G, stepper):
+    """ekf_fleet_predict (batch-trailing covariance layout) is exactly
+    jax.vmap(ekf_predict)."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_predict,
+        ekf_fleet_reset,
+        ekf_fleet_states,
+    )
+
+    B = 32
+    g0, P0 = _fleet_setup(G, B)
+    twist = 0.1 * jnp.arange(1, G.ndof + 1, dtype=jnp.float64)
+    f = lambda t, g: twist * (1.0 + 0.5 * jnp.sin(t)) + 0.1 * G.log(g)
+    Q = 0.01 * jnp.eye(G.ndof) + 0.002 * jnp.ones((G.ndof, G.ndof))
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    fleet = jax.jit(
+        lambda s: ekf_fleet_predict(G, f, s, Q, 0.3, n_steps=4, stepper=stepper),
+    )(fleet)
+    got = ekf_fleet_states(G, fleet)
+
+    ref = jax.jit(
+        jax.vmap(
+            lambda gi, Pi: ekf_predict(
+                G, f, EKFState(g=gi, P=Pi), Q, 0.3, n_steps=4, stepper=stepper
+            )
+        )
+    )(g0, P0)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
+
+
+@pytest.mark.parametrize("G", [SO3, SE2], ids=["SO3", "SE2"])
+def test_fleet_update_matches_vmap(G):
+    """ekf_fleet_update == jax.vmap(ekf_update), Euclidean measurement."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_reset,
+        ekf_fleet_states,
+        ekf_fleet_update,
+    )
+
+    B = 32
+    g0, P0 = _fleet_setup(G, B, key=11)
+    meas = lambda g: jnp.tanh(G.log(g)) + 0.3 * G.log(g)
+    R = 0.05 * jnp.eye(G.ndof) + 0.01 * jnp.ones((G.ndof, G.ndof))
+    y = jax.vmap(meas)(g0) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(3), (B, G.ndof)
+    )
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    got = ekf_fleet_states(
+        G, jax.jit(lambda s: ekf_fleet_update(G, meas, s, y, R))(fleet)
+    )
+    ref = jax.jit(
+        jax.vmap(lambda gi, Pi, yi: ekf_update(G, meas, EKFState(g=gi, P=Pi), yi, R))
+    )(g0, P0, y)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
+
+
+def test_fleet_update_manifold_measurement():
+    """Group-valued measurements (Y != None) match the vmapped path."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_reset,
+        ekf_fleet_states,
+        ekf_fleet_update,
+    )
+
+    G = SE2
+    B = 16
+    g0, P0 = _fleet_setup(G, B, key=13)
+    meas = lambda g: g  # direct pose measurement in SE(2)
+    R = 0.05 * jnp.eye(G.ndof)
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (B, G.ndof))
+    y = jax.vmap(lambda gi, wi: G.rplus(gi, wi))(g0, noise)
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    got = ekf_fleet_states(
+        G, jax.jit(lambda s: ekf_fleet_update(G, meas, s, y, R, Y=G))(fleet)
+    )
+    ref = jax.jit(
+        jax.vmap(
+            lambda gi, Pi, yi: ekf_update(G, meas, EKFState(g=gi, P=Pi), yi, R, Y=G)
+        )
+    )(g0, P0, y)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
+
+
+def test_fleet_per_member_noise():
+    """Per-member (B, n, n) Q and R are accepted and match vmap."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_predict,
+        ekf_fleet_reset,
+        ekf_fleet_states,
+        ekf_fleet_update,
+    )
+
+    G = SO3
+    B = 8
+    g0, P0 = _fleet_setup(G, B, key=17)
+    f = lambda t, g: 0.2 * G.log(g)
+    meas = lambda g: G.log(g)
+    Qs = jnp.stack([(0.01 + 0.002 * i) * jnp.eye(G.ndof) for i in range(B)])
+    Rs = jnp.stack([(0.05 + 0.01 * i) * jnp.eye(G.ndof) for i in range(B)])
+    y = jax.vmap(meas)(g0) + 0.05
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    fleet = ekf_fleet_predict(G, f, fleet, Qs, 0.2, n_steps=2)
+    got = ekf_fleet_states(G, ekf_fleet_update(G, meas, fleet, y, Rs))
+
+    def one(gi, Pi, Qi, Ri, yi):
+        s = ekf_predict(G, f, EKFState(g=gi, P=Pi), Qi, 0.2, n_steps=2)
+        return ekf_update(G, meas, s, yi, Ri)
+
+    ref = jax.vmap(one)(g0, P0, Qs, Rs, y)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
