@@ -5,13 +5,17 @@ from .mesh_utils import (
     make_sharded_fleet_step,
     replicate,
     shard_batch,
+    shard_ekf_fleet,
     shard_pytree,
+    shard_trailing,
 )
 
 __all__ = [
     "dp_mesh",
     "make_sharded_fleet_step",
     "shard_batch",
+    "shard_ekf_fleet",
     "shard_pytree",
+    "shard_trailing",
     "replicate",
 ]

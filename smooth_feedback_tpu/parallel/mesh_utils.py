@@ -33,6 +33,22 @@ def shard_batch(array, mesh: Mesh, axis_name: str = "dp"):
     return jax.device_put(array, NamedSharding(mesh, spec))
 
 
+def shard_trailing(array, mesh: Mesh, axis_name: str = "dp"):
+    """Shard the TRAILING axis of one array across the mesh (the batch axis
+    of lane-major fleet layouts, e.g. ``EKFFleetState.Pt``)."""
+    spec = P(*([None] * (array.ndim - 1)), axis_name)
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def shard_ekf_fleet(fleet, mesh: Mesh, axis_name: str = "dp"):
+    """Shard an ``EKFFleetState`` across the mesh: ``g`` on its leading
+    (batch) axis, ``Pt`` on its trailing (lane/batch) axis."""
+    return type(fleet)(
+        g=shard_batch(fleet.g, mesh, axis_name),
+        Pt=shard_trailing(fleet.Pt, mesh, axis_name),
+    )
+
+
 def shard_pytree(tree, mesh: Mesh, axis_name: str = "dp"):
     """Shard the leading axis of every leaf of a pytree (QuadraticProgram,
     QPSolution warmstarts, EKFState fleets, ...)."""

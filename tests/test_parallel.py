@@ -129,3 +129,42 @@ def test_bench_config_pallas_sharded(mesh):
     # second step consuming the sharded warmstart (the closed-loop carry)
     r2 = jax.jit(sharded_step)(r_shard.warmstart, 0.35, xs_s)
     assert np.all(np.asarray(r2.status) == 0)
+
+
+def test_sharded_ekf_fleet_matches_single_device(mesh):
+    """The batch-trailing EKF fleet layout shards on its LANE axis: g on the
+    leading batch axis, Pt on the trailing one.  Results must be identical
+    to the unsharded fleet and stay distributed."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_predict,
+        ekf_fleet_reset,
+        ekf_fleet_update,
+    )
+    from smooth_feedback_tpu.groups import SE2
+    from smooth_feedback_tpu.parallel import shard_ekf_fleet
+
+    G = SE2
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    g0 = jax.vmap(lambda k: G.random(k, 0.3))(keys)
+    twist = jnp.array([0.4, 0.0, 0.2])
+    f = lambda t, g: twist + 0.1 * G.log(g)
+    meas = lambda g: G.log(g)
+    Q = 0.01 * jnp.eye(G.ndof)
+    R = 0.05 * jnp.eye(G.ndof)
+    y = jax.vmap(meas)(g0) + 0.05
+
+    @jax.jit
+    def step(s):
+        s = ekf_fleet_predict(G, f, s, Q, 0.1, n_steps=3)
+        return ekf_fleet_update(G, meas, s, y, R)
+
+    local = step(ekf_fleet_reset(G, g0))
+    sharded = step(shard_ekf_fleet(ekf_fleet_reset(G, g0), mesh))
+    np.testing.assert_allclose(
+        np.asarray(local.g), np.asarray(sharded.g), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(local.Pt), np.asarray(sharded.Pt), atol=1e-12
+    )
+    assert len(sharded.Pt.sharding.device_set) == len(jax.devices())
