@@ -97,7 +97,15 @@ def build(dtype):
         params=ASIFilterParams(
             T=2.5,
             asif=ASIFtoQPParams(K=50, dt=0.05, alpha=2.0, relax_cost=1000.0),
-            qp=QPSolverParams(polish=False, max_iter=200, stop_check_iter=10),
+            # lane backend: batch-trailing layout for the tiny (3-var) ASIF
+            # QPs; adaptive rho turns the persistent barrier-active
+            # stragglers (which otherwise run the whole fleet's while-loop
+            # to the cap every step) from ~200 to ~60 iterations.  Measured
+            # at B=512: 3.26 -> 2.33 ms per ASIF fleet step.
+            qp=QPSolverParams(
+                polish=False, max_iter=250, stop_check_iter=10,
+                backend="lane", adaptive_rho=True, rho=0.02,
+            ),
         ),
         W_u=jnp.array([20.0, 1.0], dtype),
         ulim=ManifoldBounds(

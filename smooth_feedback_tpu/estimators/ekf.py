@@ -374,58 +374,13 @@ def ekf_fleet_states(G: LieGroup, fleet: EKFFleetState) -> EKFState:
     return EKFState(g=fleet.g, P=jnp.moveaxis(fleet.Pt, -1, 0))
 
 
-def _mm_t(A, B):
-    """(i,j,b),(j,k,b)->(i,k,b) matrix stack product, batch trailing."""
-    return (A[:, :, None, :] * B[None, :, :, :]).sum(axis=1)
-
-
-def _mv_t(A, x):
-    """(i,j,b),(j,b)->(i,b)."""
-    return (A * x[None, :, :]).sum(axis=1)
-
-
-def _sym_tt(P):
-    return 0.5 * (P + jnp.swapaxes(P, 0, 1))
-
-
-def _chol_t(S):
-    """Unrolled lower Cholesky of an SPD (m, m, B) stack (m static, tiny)."""
-    m = S.shape[0]
-    L = [[None] * m for _ in range(m)]
-    for j in range(m):
-        acc = S[j, j]
-        for k in range(j):
-            acc = acc - L[j][k] * L[j][k]
-        d = jnp.sqrt(acc)
-        L[j][j] = d
-        inv_d = 1.0 / d
-        for i in range(j + 1, m):
-            acc = S[i, j]
-            for k in range(j):
-                acc = acc - L[i][k] * L[j][k]
-            L[i][j] = acc * inv_d
-    z = jnp.zeros_like(S[0, 0])
-    return jnp.stack(
-        [jnp.stack([L[i][j] if j <= i else z for j in range(m)]) for i in range(m)]
-    )
-
-
-def _chol_solve_t(L, Bm):
-    """Solve (L L') X = Bm with (m,m,B) lower-triangular L, (m,k,B) Bm."""
-    m = Bm.shape[0]
-    Y = [None] * m
-    for i in range(m):
-        acc = Bm[i]
-        for j in range(i):
-            acc = acc - L[i, j][None, :] * Y[j]
-        Y[i] = acc / L[i, i][None, :]
-    X = [None] * m
-    for i in reversed(range(m)):
-        acc = Y[i]
-        for j in range(i + 1, m):
-            acc = acc - L[j, i][None, :] * X[j]
-        X[i] = acc / L[i, i][None, :]
-    return jnp.stack(X)
+from ..utils.linalg import (
+    chol_lane as _chol_t,
+    chol_solve_lane as _chol_solve_t,
+    mm_lane as _mm_t,
+    mv_lane as _mv_t,
+    sym_lane as _sym_tt,
+)
 
 
 def _noise_t(M, dtype, B):

@@ -358,6 +358,406 @@ def qp_factorize(qp: QuadraticProgram, prm: QPSolverParams = QPSolverParams()) -
         return _factorize(P, q, A, l, u, prm)
 
 
+# --------------------------------------------- lane (batch-trailing) backend
+#
+# For fleets of TINY per-problem QPs (the ASIF shape: n = nu+1 variables,
+# m ~ K rows) neither standard path is good: the XLA path re-reads the
+# (B, m, n) constraint stack from HBM every iteration with its minor dims
+# padded to (8, 128) tiles (~40x waste at n=3), and the per-problem Pallas
+# kernel pads n, m to 128 inside VMEM (~1000x wasted compute).  The lane
+# backend stores every matrix batch-TRAILING — A as (m, n, B), the batch on
+# the lanes — and runs scaling, factorization, the ADMM iteration, and the
+# stopping checks entirely in that layout with broadcast-multiply-sum
+# contractions (never dot_general, which XLA would re-layout).  Same
+# algorithm, same semantics, parity-tested against the XLA path.
+
+
+def _ruiz_lane(Pt, qt, At, max_ruiz_iter: int = 10):
+    """Trailing-layout modified-Ruiz equilibration; mirrors jax.vmap(_ruiz)
+    including its per-element convergence masking."""
+    dt = Pt.dtype
+    n, _, B = Pt.shape
+    m = At.shape[0]
+
+    colnorm_P = jnp.max(jnp.abs(Pt), axis=0)  # (n, B)
+    colnorm_P = jnp.where(colnorm_P == 0, 1.0, colnorm_P)
+    c = 1.0 / jnp.maximum(
+        jnp.asarray(1e-6, dt),
+        jnp.maximum(jnp.mean(colnorm_P, axis=0), jnp.max(jnp.abs(qt), axis=0)),
+    )  # (B,)
+
+    def body(carry):
+        sx, sy, it, err = carry
+        active = jnp.logical_or(it == 0, err > 0.1)  # (B,) per-element cond
+        Pn = jnp.abs(c[None, None, :] * sx[:, None, :] * sx[None, :, :] * Pt)
+        An = jnp.abs(sy[:, None, :] * At * sx[None, :, :])
+        sx_inc = jnp.maximum(jnp.max(Pn, axis=0), jnp.max(An, axis=0))  # (n, B)
+        sy_inc = jnp.max(An, axis=1)  # (m, B)
+        sx_inc = jnp.where(sx_inc == 0, 1.0, sx_inc)
+        sy_inc = jnp.where(sy_inc == 0, 1.0, sy_inc)
+        err_new = jnp.maximum(
+            jnp.max(jnp.abs(sx_inc - 1.0), axis=0),
+            jnp.max(jnp.abs(sy_inc - 1.0), axis=0),
+        )
+        sx_new = sx * jax.lax.rsqrt(jnp.maximum(sx_inc, 1e-8))
+        sy_new = sy * jax.lax.rsqrt(jnp.maximum(sy_inc, 1e-8))
+        sx = jnp.where(active[None, :], sx_new, sx)
+        sy = jnp.where(active[None, :], sy_new, sy)
+        err = jnp.where(active, err_new, err)
+        return sx, sy, it + 1, err
+
+    def cond(carry):
+        _, _, it, err = carry
+        return jnp.logical_or(
+            it == 0, jnp.logical_and(it <= max_ruiz_iter, (err > 0.1).any())
+        )
+
+    sx0 = jnp.ones((n, B), dt)
+    sy0 = jnp.ones((m, B), dt)
+    sx, sy, _, _ = lax.while_loop(
+        cond, body, (sx0, sy0, jnp.int32(0), jnp.full((B,), jnp.inf, dt))
+    )
+    return c, sx, sy
+
+
+def _factorize_lane(Pt, qt, At, lt, ut, prm):
+    """Trailing-layout scaling + reduced-KKT factorization (cf. _factorize)."""
+    from ..utils.linalg import chol_lane, chol_solve_lane
+
+    dt = Pt.dtype
+    n, _, B = Pt.shape
+    m = At.shape[0]
+    inf = jnp.asarray(jnp.inf, dt)
+
+    if prm.scaling:
+        c, sx, sy = _ruiz_lane(Pt, qt, At)
+    else:
+        c = jnp.ones((B,), dt)
+        sx = jnp.ones((n, B), dt)
+        sy = jnp.ones((m, B), dt)
+
+    unbounded = jnp.logical_and(lt == -inf, ut == inf)
+    eq = sy * jnp.abs(lt - ut) < 1e-5  # NaN (inf-inf) compares False
+    rho_bar = jnp.asarray(prm.rho, dt)
+    rho = jnp.where(
+        unbounded,
+        jnp.asarray(1e-6, dt),
+        jnp.where(eq, prm.rho_eq_scale * rho_bar, rho_bar),
+    )  # (m, B)
+
+    Pst = c[None, None, :] * sx[:, None, :] * sx[None, :, :] * Pt
+    Ast = sy[:, None, :] * At * sx[None, :, :]
+
+    ArA = ((Ast * rho[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(axis=0)
+    Mredt = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None] + ArA
+    L = chol_lane(Mredt)
+    fact_fail = jnp.logical_not(jnp.isfinite(L).all(axis=(0, 1)))  # (B,)
+    L = jnp.where(
+        fact_fail[None, None, :], jnp.eye(n, dtype=dt)[:, :, None], L
+    )
+    eyeB = jnp.broadcast_to(jnp.eye(n, dtype=dt)[:, :, None], (n, n, B))
+    Minvt = chol_solve_lane(L, eyeB)
+    return c, sx, sy, rho, Mredt, Minvt, jnp.logical_not(fact_fail)
+
+
+def _stopping_check_lane(prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us):
+    """Trailing-layout port of _stopping_check (same certificates/criteria);
+    all matrix stacks (k, j, B), vectors (k, B)."""
+    from ..utils.linalg import mv_lane
+
+    dt = Pt.dtype
+    eps_abs = jnp.asarray(prm.eps_abs, dt)
+    eps_rel = jnp.asarray(prm.eps_rel, dt)
+    eps_pinf = jnp.asarray(prm.eps_primal_inf, dt)
+    eps_dinf = jnp.asarray(prm.eps_dual_inf, dt)
+
+    def ninf(v):  # (k, B) -> (B,)
+        return jnp.max(jnp.abs(v), axis=0)
+
+    A_mv = lambda xv: (At * xv[None, :, :]).sum(axis=1)  # (m, B)
+    AT_mv = lambda v: (At * v[:, None, :]).sum(axis=0)  # (n, B)
+
+    diverged = jnp.logical_not(
+        jnp.logical_and(
+            jnp.isfinite(x_us).all(axis=0), jnp.isfinite(y_us).all(axis=0)
+        )
+    )
+
+    Ax = A_mv(x_us)
+    pres = ninf(Ax - z_us)
+    pscale = jnp.maximum(ninf(Ax), ninf(z_us))
+    prim_ok = pres <= eps_abs + eps_rel * pscale
+
+    Px = mv_lane(Pt, x_us)
+    Aty = AT_mv(y_us)
+    dres = ninf(Px + qt + Aty)
+    dscale = jnp.maximum(ninf(Px), jnp.maximum(ninf(qt), ninf(Aty)))
+    dual_ok = dres <= eps_abs + eps_rel * dscale
+
+    # normalized-residual balance for adaptive rho (OSQP sec. 5.2):
+    # ratio > 1 -> primal residual dominates -> raise rho, and vice versa
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    pn = pres / jnp.maximum(pscale, tiny)
+    dn = dres / jnp.maximum(dscale, tiny)
+    ratio = jnp.where(
+        jnp.logical_and(pn > 0, dn > 0), pn / jnp.maximum(dn, tiny), 1.0
+    )
+
+    optimal = jnp.logical_and(prim_ok, dual_ok)
+
+    E = ninf(dy_us)
+    Atdy = AT_mv(dy_us)
+    u_inf = jnp.isinf(ut)
+    l_inf = jnp.isinf(lt)
+    viol = jnp.logical_or(
+        jnp.logical_and(u_inf, dy_us > eps_pinf * E[None, :]),
+        jnp.logical_and(l_inf, dy_us < -eps_pinf * E[None, :]),
+    ).any(axis=0)
+    sum_term = jnp.sum(
+        jnp.where(u_inf, 0.0, ut * jnp.maximum(0.0, dy_us))
+        + jnp.where(l_inf, 0.0, lt * jnp.minimum(0.0, dy_us)),
+        axis=0,
+    )
+    prim_inf = jnp.logical_and(
+        jnp.logical_not(viol),
+        jnp.maximum(ninf(Atdy), sum_term) < eps_pinf * E,
+    )
+
+    dxn = ninf(dx_us)
+    Pdx = mv_lane(Pt, dx_us)
+    Adx = A_mv(dx_us)
+    tol = eps_dinf * dxn[None, :]
+    row_ok = jnp.where(
+        u_inf,
+        Adx >= -tol,
+        jnp.where(l_inf, Adx <= tol, jnp.abs(Adx) < tol),
+    ).all(axis=0)
+    dual_inf = (
+        (ninf(Pdx) <= eps_dinf * dxn)
+        & ((qt * dx_us).sum(axis=0) <= eps_dinf * dxn)
+        & row_ok
+    )
+
+    status = jnp.where(
+        diverged,
+        _UNKNOWN,
+        jnp.where(
+            optimal,
+            _OPTIMAL,
+            jnp.where(prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)),
+        ),
+    ).astype(jnp.int32)
+    return status, pres, dres, ratio
+
+
+def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
+    """Batch-trailing solve; inputs/outputs batch-leading (transposed once)."""
+    from ..utils.linalg import mv_lane
+
+    dt = P.dtype
+    B, m, n = A.shape
+    if n > 32:
+        raise ValueError(
+            f"backend='lane' is for tiny per-problem QPs (n <= 32, got n={n});"
+            " its broadcast contractions materialize (m, n, n, B) intermediates"
+            " — use backend='xla' or 'pallas' for larger problems"
+        )
+    inf = jnp.asarray(jnp.inf, dt)
+
+    Pt = jnp.moveaxis(P, 0, -1)
+    At = jnp.moveaxis(A, 0, -1)
+    qt, lt, ut = q.T, l.T, u.T
+
+    if factors is None:
+        c, sx, sy, rho, Mredt, Minvt, fact_ok = _factorize_lane(
+            Pt, qt, At, lt, ut, prm
+        )
+    else:
+        c = factors.c
+        sx = factors.sx.T
+        sy = factors.sy.T
+        rho = factors.rho.T
+        Mredt = jnp.moveaxis(factors.Mred, 0, -1)
+        Minvt = jnp.moveaxis(factors.Minv, 0, -1)
+        fact_ok = factors.fact_ok
+
+    # trivial infeasibility (qp_solver.hpp:361-364)
+    bad_row = jnp.logical_or(lt == inf, jnp.logical_or(ut == -inf, (ut - lt) < 0))
+    trivially_infeasible = bad_row.any(axis=0)
+    status0 = jnp.where(
+        trivially_infeasible,
+        _PRIMAL_INF,
+        jnp.where(jnp.logical_not(fact_ok), _UNKNOWN, _RUNNING),
+    ).astype(jnp.int32)
+
+    qs = c[None, :] * sx * qt
+    ls = sy * lt
+    us = sy * ut
+
+    A_mv = lambda xv: (At * xv[None, :, :]).sum(axis=1)
+
+    # scaled A for the iteration (recompute cheaply in trailing layout)
+    Ast = sy[:, None, :] * At * sx[None, :, :]
+    As_mv = lambda xv: (Ast * xv[None, :, :]).sum(axis=1)  # (m, B)
+    AsT_mv = lambda v: (Ast * v[:, None, :]).sum(axis=0)  # (n, B)
+
+    if warmstart is not None:
+        x0 = warmstart.primal.T / sx
+        y0 = c[None, :] * warmstart.dual.T / sy
+        z0 = sy * A_mv(warmstart.primal.T)
+    else:
+        x0 = jnp.zeros((n, B), dt)
+        y0 = jnp.zeros((m, B), dt)
+        z0 = jnp.zeros((m, B), dt)
+
+    n_refine = max(0, prm.kkt_refine_iters)
+
+    def Msolve(Minvt_, Mredt_, r):
+        t = mv_lane(Minvt_, r)
+        for _ in range(n_refine):
+            resid = r - mv_lane(Mredt_, t)
+            t = t + mv_lane(Minvt_, resid)
+        return t
+
+    alpha = jnp.asarray(prm.alpha, dt)
+    # rows whose rho is pinned (unbounded, qp_solver.hpp:361-374) never adapt
+    rho_pinned = jnp.logical_and(lt == -inf, ut == inf)
+
+    def _refactor(rho_):
+        from ..utils.linalg import chol_lane, chol_solve_lane
+
+        ArA = ((Ast * rho_[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(
+            axis=0
+        )
+        Pst = c[None, None, :] * sx[:, None, :] * sx[None, :, :] * Pt
+        Mredt_ = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None] + ArA
+        L = chol_lane(Mredt_)
+        bad = jnp.logical_not(jnp.isfinite(L).all(axis=(0, 1)))
+        L = jnp.where(bad[None, None, :], jnp.eye(n, dtype=dt)[:, :, None], L)
+        eyeB = jnp.broadcast_to(jnp.eye(n, dtype=dt)[:, :, None], (n, n, B))
+        return Mredt_, chol_solve_lane(L, eyeB), bad
+
+    def cond(state):
+        it = state[0]
+        status = state[4]
+        return jnp.logical_and(it < prm.max_iter, (status == _RUNNING).any())
+
+    def body(state):
+        it, x, z, y, status, iters, pres, dres, rho_c, Mredt_c, Minvt_c = state
+        x_old, y_old = x, y
+
+        rhs = prm.sigma * x - qs + AsT_mv(rho_c * z - y)
+        xt = Msolve(Minvt_c, Mredt_c, rhs)
+        zt = As_mv(xt)
+
+        xn = alpha * xt + (1 - alpha) * x
+        zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho_c, ls, us)
+        yn = y + rho_c * (alpha * zt + (1 - alpha) * z - zn)
+
+        def do_check(_):
+            x_us = sx * xn
+            y_us = sy * yn / c[None, :]
+            z_us = zn / sy
+            dx_us = sx * (xn - x_old)
+            dy_us = sy * (yn - y_old) / c[None, :]
+            st, pr, dr, ratio = _stopping_check_lane(
+                prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us
+            )
+            if prm.verbose:
+                jax.debug.print(
+                    "[qp/lane] iter {i}: running {r}/{b}  pres med {pm:.3e} "
+                    "max {px:.3e}  dres med {dm:.3e} max {dx:.3e}",
+                    i=it,
+                    r=jnp.sum(st == _RUNNING),
+                    b=B,
+                    pm=jnp.median(pr),
+                    px=jnp.max(pr),
+                    dm=jnp.median(dr),
+                    dx=jnp.max(dr),
+                )
+            return st, pr, dr, ratio
+
+        def skip(_):
+            return (
+                jnp.full((B,), _RUNNING, jnp.int32),
+                pres,
+                dres,
+                jnp.ones((B,), dt),
+            )
+
+        check_now = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
+        new_status, pres_n, dres_n, ratio = lax.cond(check_now, do_check, skip, None)
+
+        run = status == _RUNNING
+        runc = run[None, :]
+        x = jnp.where(runc, xn, x)
+        z = jnp.where(runc, zn, z)
+        y = jnp.where(runc, yn, y)
+        status = jnp.where(run, new_status, status)
+        iters = jnp.where(run, it + 1, iters)
+        pres = jnp.where(run, pres_n, pres)
+        dres = jnp.where(run, dres_n, dres)
+
+        if prm.adaptive_rho:
+            # residual-balancing update (OSQP sec. 5.2, absent from the
+            # reference's embedded solver): rho <- rho sqrt(pres_n/dres_n)
+            # per element, refactorizing the reduced KKT in-loop (cheap at
+            # lane sizes).  Only elements whose imbalance exceeds the
+            # tolerance band adapt, and only while still running.
+            mult = jnp.sqrt(ratio)
+            tol = jnp.asarray(prm.adaptive_rho_tol, dt)
+            adapt_e = jnp.logical_and(
+                new_status == _RUNNING,
+                jnp.logical_and(
+                    run, jnp.logical_or(mult > tol, mult < 1.0 / tol)
+                ),
+            )
+            mult = jnp.where(adapt_e, mult, 1.0)
+            rho_new = jnp.clip(rho_c * mult[None, :], 1e-6, 1e6)
+            rho_new = jnp.where(rho_pinned, jnp.asarray(1e-6, dt), rho_new)
+
+            def refac(_):
+                Mred_n, Minv_n, bad = _refactor(rho_new)
+                # a failed refactorization keeps the previous rho/factors
+                keep = bad[None, :]
+                rho_k = jnp.where(keep, rho_c, rho_new)
+                Mred_k = jnp.where(keep[None], Mredt_c, Mred_n)
+                Minv_k = jnp.where(keep[None], Minvt_c, Minv_n)
+                return rho_k, Mred_k, Minv_k
+
+            def keep_f(_):
+                return rho_c, Mredt_c, Minvt_c
+
+            rho_c, Mredt_c, Minvt_c = lax.cond(
+                adapt_e.any(), refac, keep_f, None
+            )
+
+        return it + 1, x, z, y, status, iters, pres, dres, rho_c, Mredt_c, Minvt_c
+
+    init = (
+        jnp.int32(0),
+        x0,
+        z0,
+        y0,
+        status0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), inf),
+        jnp.full((B,), inf),
+        rho,
+        Mredt,
+        Minvt,
+    )
+    out = lax.while_loop(cond, body, init)
+    _, x, z, y, status, iters, pres, dres = out[:8]
+    status = jnp.where(status == _RUNNING, _MAX_ITER, status)
+
+    # finalize (and optional polish) in the standard batch-leading layout —
+    # one-time costs, shared with the other backends for exact parity
+    return _finalize_solution(
+        prm, P, q, A, l, u, c, sx.T, sy.T, x.T, y.T, status, iters, pres, dres
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("prm",))
 def solve_qp_batch(
     qp: QuadraticProgram,
@@ -397,6 +797,16 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
     # Minv, e.g. from qp_factorize on one template problem): the LTI-MPC
     # fleet case, where the Pallas path can use real GEMM iterations.
     shared = factors is not None and factors.Minv.ndim == 2
+    if prm.adaptive_rho and (prm.backend != "lane" or shared):
+        raise ValueError(
+            "adaptive_rho requires backend='lane' with per-problem factors "
+            "(the in-loop refactorization is only implemented for the "
+            "batch-trailing stack Cholesky)"
+        )
+    if prm.backend == "lane" and not shared:
+        # batch-trailing path for fleets of tiny QPs; shared-factor batches
+        # fall through to the XLA shared-GEMM path below (already efficient)
+        return _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors)
     if factors is None:
         factors = _factorize(P, q, A, l, u, prm)
     c, sx, sy, rho, Ps, As, Mred, Minv, fact_ok = factors

@@ -85,9 +85,18 @@ class QPSolverParams:
     # forces full-f32 matmul precision on TPU; refinement is only needed when
     # pushing f32 toward ~1e-6 tolerances. No reference analog (f64-only).
     kkt_refine_iters: int = 0
-    # Iteration-loop backend: "xla" (batched einsums, any dtype) or "pallas"
-    # (fused TPU kernel keeping each problem's matrices in VMEM across the
-    # whole iteration; float32 only, falls back to interpret mode off-TPU).
+    # Iteration-loop backend:
+    #   "xla"    batched einsums, any dtype;
+    #   "pallas" fused TPU kernel keeping each problem's matrices in VMEM
+    #            across the whole iteration (float32 only, interpret mode
+    #            off-TPU);
+    #   "lane"   batch-TRAILING layout for fleets of TINY per-problem QPs
+    #            (n <= ~16): matrices stored (m, n, B) so the batch rides the
+    #            TPU lanes instead of padding n -> 128 (~40x less HBM traffic
+    #            per iteration at n=3).  Scaling, factorization, iteration,
+    #            and stopping checks all run trailing; polish and finalize
+    #            are batch-leading one-time costs.  Per-problem factors only
+    #            (shared-factor batches fall through to the XLA GEMM path).
     backend: str = "xla"
     # Problems per grid step in the shared-matrix Pallas kernel (the GEMM
     # row-block height).  Larger blocks amortize the shared-matrix load and
@@ -102,6 +111,16 @@ class QPSolverParams:
     # pay the straggler price.  Results are inverse-permuted (exact — the
     # problems are independent).  No reference analog (serial solver).
     sort_stragglers: bool = False
+    # Residual-balancing rho adaptation at stopping checks (OSQP sec. 5.2;
+    # the reference's embedded solver has static rho only): per element,
+    # rho <- rho * sqrt(pres_norm / dres_norm) when the normalized residuals
+    # are imbalanced beyond adaptive_rho_tol, refactorizing the reduced KKT
+    # in-loop.  Supported on the "lane" backend (per-problem factors), where
+    # the stack refactorization is cheap; turns persistent ADMM stragglers
+    # (e.g. barrier-active ASIF members) from hundreds of iterations into
+    # tens.
+    adaptive_rho: bool = False
+    adaptive_rho_tol: float = 5.0
     # Print batch residual summaries at every stopping check (the analog of
     # the reference's verbose iteration rows, qp_solver.hpp:409-419); uses
     # jax.debug.print, XLA backend only.

@@ -26,3 +26,73 @@ def d2r_fog(Jf, Hf, Jg, Hg):
     first = jnp.einsum("yx,kyz,zw->kxw", Jg, Hf, Jg)
     second = jnp.einsum("ky,yxw->kxw", Jf, Hg)
     return first + second
+
+
+# ---------------------------------------------------------------------------
+# Batch-trailing ("lane") stack linear algebra
+# ---------------------------------------------------------------------------
+#
+# TPU arrays tile their two minor dims to (8 sublanes, 128 lanes): a batched
+# stack of tiny matrices in the natural (B, n, n) layout pads n -> 128 lanes
+# (~110x memory waste at n=3) and every op on it is bandwidth-crippled.  The
+# helpers below operate on (n, n, B)-shaped stacks — the BATCH rides the
+# lanes — using broadcast-multiply-sum only (never dot_general, which XLA
+# would re-layout).  Used by the EKF fleet layout (estimators/ekf.py) and the
+# QP solver's "lane" backend (qp/solver.py).
+
+
+def mm_lane(A, B):
+    """(i,j,b),(j,k,b) -> (i,k,b) matrix-stack product, batch trailing."""
+    return (A[:, :, None, :] * B[None, :, :, :]).sum(axis=1)
+
+
+def mv_lane(A, x):
+    """(i,j,b),(j,b) -> (i,b) matvec stack, batch trailing."""
+    return (A * x[None, :, :]).sum(axis=1)
+
+
+def sym_lane(P):
+    return 0.5 * (P + jnp.swapaxes(P, 0, 1))
+
+
+def chol_lane(S):
+    """Unrolled lower Cholesky of an SPD (m, m, B) stack (m static, small).
+
+    Python-unrolled over the matrix indices — O(m^3) traced (B,)-vector ops,
+    intended for m up to ~16."""
+    m = S.shape[0]
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        acc = S[j, j]
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k]
+        d = jnp.sqrt(acc)
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, m):
+            acc = S[i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = acc * inv_d
+    z = jnp.zeros_like(S[0, 0])
+    return jnp.stack(
+        [jnp.stack([L[i][j] if j <= i else z for j in range(m)]) for i in range(m)]
+    )
+
+
+def chol_solve_lane(L, B):
+    """Solve (L L') X = B with (m, m, B)-stack lower-triangular L, (m, k, B) B."""
+    m = B.shape[0]
+    Y = [None] * m
+    for i in range(m):
+        acc = B[i]
+        for j in range(i):
+            acc = acc - L[i, j][None, :] * Y[j]
+        Y[i] = acc / L[i, i][None, :]
+    X = [None] * m
+    for i in reversed(range(m)):
+        acc = Y[i]
+        for j in range(i + 1, m):
+            acc = acc - L[j, i][None, :] * X[j]
+        X[i] = acc / L[i, i][None, :]
+    return jnp.stack(X)

@@ -158,3 +158,36 @@ def test_fleet_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(r_fleet.u), np.asarray(r_vmap.u), atol=1e-6
     )
+
+
+def test_fleet_lane_adaptive_matches_xla():
+    """The lane backend + adaptive rho (the ASIF fleet bench configuration)
+    filters identically to the default XLA backend at tight tolerance."""
+    X, U = Rn(2), Rn(1)
+    f = lambda x, u: jnp.stack([x[1], u[0]])
+    h = lambda t, x: jnp.stack([x[0]])
+    bu = lambda t, x: jnp.array([1.0])
+
+    def build(backend, adaptive):
+        return make_asif_step(
+            X, U, f, h, bu,
+            params=ASIFilterParams(
+                T=1.0, asif=ASIFtoQPParams(K=5),
+                qp=QPSolverParams(
+                    eps_abs=1e-8, eps_rel=1e-8, backend=backend,
+                    adaptive_rho=adaptive, polish=False, max_iter=20000,
+                ),
+            ),
+        )
+
+    step_x, ws0 = build("xla", False)
+    step_l, _ = build("lane", True)
+    B = 8
+    xs = jnp.stack([jnp.array([1.0 + 0.1 * i, -0.2]) for i in range(B)])
+    uds = jnp.zeros((B, 1))
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws0)
+    r_x = jax.jit(step_x.fleet)(wss, xs, uds)
+    r_l = jax.jit(step_l.fleet)(wss, xs, uds)
+    assert np.all(np.asarray(r_x.status) == QPSolutionStatus.Optimal)
+    assert np.all(np.asarray(r_l.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(r_l.u), np.asarray(r_x.u), atol=1e-6)

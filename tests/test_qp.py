@@ -671,3 +671,182 @@ def test_sort_stragglers_exact():
     r_sorted = solve_qp_batch(qps, prm_sorted, ws, fac1)
     for a, b in zip(r_plain, r_sorted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# lane (batch-trailing) backend
+# ---------------------------------------------------------------------------
+
+
+def _lane_prm(**kw):
+    import dataclasses
+
+    base = QPSolverParams(**kw)
+    return base, dataclasses.replace(base, backend="lane")
+
+
+def test_lane_backend_matches_xla_random():
+    """backend='lane' produces the same statuses/solutions as the XLA path
+    on a batch of random tiny QPs (the ASIF shape: tall, few variables)."""
+    B, n, m = 24, 3, 20
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
+    prm_x, prm_l = _lane_prm(max_iter=4000, polish=False)
+
+    sx = solve_qp_batch(qps, prm_x)
+    sl = solve_qp_batch(qps, prm_l)
+    assert np.all(np.asarray(sx.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_array_equal(np.asarray(sl.status), np.asarray(sx.status))
+    np.testing.assert_allclose(
+        np.asarray(sl.primal), np.asarray(sx.primal), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(sl.dual), np.asarray(sx.dual), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sl.objective), np.asarray(sx.objective), atol=1e-8
+    )
+
+
+def test_lane_backend_polish_and_warmstart():
+    """Polish (shared batch-leading finalize) and warmstart scaling compose
+    with the lane iteration path."""
+    B, n, m = 12, 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
+    prm_x, prm_l = _lane_prm(max_iter=4000, polish=True, eps_abs=1e-6, eps_rel=1e-6)
+
+    sx = solve_qp_batch(qps, prm_x)
+    sl = solve_qp_batch(qps, prm_l)
+    np.testing.assert_array_equal(np.asarray(sl.status), np.asarray(sx.status))
+    np.testing.assert_allclose(
+        np.asarray(sl.primal), np.asarray(sx.primal), atol=1e-8
+    )
+    # warmstart from the solution: must converge immediately on both paths
+    sl2 = solve_qp_batch(qps, prm_l, sl)
+    assert np.all(np.asarray(sl2.status) == QPSolutionStatus.Optimal)
+    assert np.all(np.asarray(sl2.iters) <= np.asarray(sl.iters))
+    np.testing.assert_allclose(
+        np.asarray(sl2.primal), np.asarray(sl.primal), atol=1e-6
+    )
+
+
+def test_lane_backend_certificates():
+    """Primal/dual infeasibility certificates fire on the lane path."""
+    # primal infeasible: x <= -1 and x >= 1
+    P = jnp.eye(1)[None]
+    q = jnp.zeros((1, 1))
+    A = jnp.array([[[1.0], [1.0]]])
+    l = jnp.array([[-jnp.inf, 1.0]])
+    u = jnp.array([[-1.0, jnp.inf]])
+    _, prm_l = _lane_prm(max_iter=4000, polish=False)
+    sol = solve_qp_batch(QuadraticProgram(P=P, q=q, A=A, l=l, u=u), prm_l)
+    assert int(sol.status[0]) == QPSolutionStatus.PrimalInfeasible
+
+    # dual infeasible (unbounded): min -x, x >= 0
+    P = jnp.zeros((1, 1, 1))
+    q = jnp.array([[-1.0]])
+    A = jnp.array([[[1.0]]])
+    l = jnp.array([[0.0]])
+    u = jnp.array([[jnp.inf]])
+    sol = solve_qp_batch(QuadraticProgram(P=P, q=q, A=A, l=l, u=u), prm_l)
+    assert int(sol.status[0]) == QPSolutionStatus.DualInfeasible
+
+    # trivially infeasible box
+    P = jnp.eye(1)[None]
+    q = jnp.zeros((1, 1))
+    A = jnp.array([[[1.0]]])
+    l = jnp.array([[2.0]])
+    u = jnp.array([[1.0]])
+    sol = solve_qp_batch(QuadraticProgram(P=P, q=q, A=A, l=l, u=u), prm_l)
+    assert int(sol.status[0]) == QPSolutionStatus.PrimalInfeasible
+
+
+def test_lane_backend_with_precomputed_factors():
+    """Per-problem QPFactors (batch-leading) transpose into the lane path."""
+    from smooth_feedback_tpu.qp import qp_factorize
+
+    B, n, m = 8, 3, 12
+    keys = jax.random.split(jax.random.PRNGKey(6), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
+    prm_x, prm_l = _lane_prm(max_iter=4000, polish=False)
+    fac = qp_factorize(qps, prm_l)
+    s_fac = solve_qp_batch(qps, prm_l, None, fac)
+    s_ref = solve_qp_batch(qps, prm_x)
+    np.testing.assert_array_equal(np.asarray(s_fac.status), np.asarray(s_ref.status))
+    np.testing.assert_allclose(
+        np.asarray(s_fac.primal), np.asarray(s_ref.primal), atol=1e-6
+    )
+
+
+def test_lane_backend_rejects_large_n():
+    B, n, m = 2, 40, 10
+    keys = jax.random.split(jax.random.PRNGKey(8), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
+    _, prm_l = _lane_prm(polish=False)
+    with pytest.raises(ValueError, match="lane"):
+        solve_qp_batch(qps, prm_l)
+
+
+def test_lane_backend_f32_kkt():
+    """f32 lane solves satisfy the KKT conditions at solver tolerance."""
+    B, n, m = 16, 3, 24
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m, dtype=jnp.float32))(keys)
+    _, prm_l = _lane_prm(max_iter=8000, polish=False, eps_abs=1e-5, eps_rel=1e-5)
+    sol = solve_qp_batch(qps, prm_l)
+    assert np.all(np.asarray(sol.status) == QPSolutionStatus.Optimal)
+    stat, pfeas, comp, _ = _kkt_residuals(qps, sol)
+    assert float(stat.max()) < 5e-4
+    assert float(pfeas.max()) < 5e-4
+
+
+def test_lane_adaptive_rho():
+    """adaptive_rho (lane backend) reaches the same solutions, faster on
+    residual-imbalanced problems, and leaves certificates intact."""
+    import dataclasses
+
+    B, n, m = 16, 3, 24
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    # imbalance the problems: wildly different cost/constraint scales
+    def make(k):
+        qp1 = random_qp(k, n=n, m=m)
+        return QuadraticProgram(
+            P=1000.0 * qp1.P, q=1000.0 * qp1.q, A=qp1.A, l=qp1.l, u=qp1.u
+        )
+
+    qps = jax.vmap(make)(keys)
+    prm = QPSolverParams(
+        max_iter=50000, polish=False, backend="lane", scaling=False,
+        eps_abs=1e-7, eps_rel=1e-7,
+    )
+    prm_ad = dataclasses.replace(prm, adaptive_rho=True)
+
+    s0 = solve_qp_batch(qps, prm)
+    s1 = solve_qp_batch(qps, prm_ad)
+    assert np.all(np.asarray(s1.status) == QPSolutionStatus.Optimal)
+    # same minimizer wherever the static-rho path also converged
+    ok0 = np.asarray(s0.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(
+        np.asarray(s1.primal)[ok0], np.asarray(s0.primal)[ok0], atol=1e-4
+    )
+    # adaptation must help on these scale-imbalanced problems
+    assert int(np.asarray(s1.iters).max()) < int(np.asarray(s0.iters).max())
+
+    # certificates still fire with adaptation enabled
+    P = jnp.eye(1)[None]
+    q = jnp.zeros((1, 1))
+    A = jnp.array([[[1.0], [1.0]]])
+    l = jnp.array([[-jnp.inf, 1.0]])
+    u = jnp.array([[-1.0, jnp.inf]])
+    sol = solve_qp_batch(QuadraticProgram(P=P, q=q, A=A, l=l, u=u), prm_ad)
+    assert int(sol.status[0]) == QPSolutionStatus.PrimalInfeasible
+
+
+def test_adaptive_rho_rejected_off_lane():
+    import dataclasses
+
+    B, n, m = 2, 3, 5
+    keys = jax.random.split(jax.random.PRNGKey(12), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
+    prm = dataclasses.replace(QPSolverParams(), adaptive_rho=True)  # xla
+    with pytest.raises(ValueError, match="adaptive_rho"):
+        solve_qp_batch(qps, prm)
