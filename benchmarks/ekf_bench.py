@@ -29,6 +29,9 @@ from smooth_feedback_tpu.estimators import (
     ekf_fleet_update,
     ekf_predict,
     ekf_update,
+    sqrt_ekf_fleet_predict,
+    sqrt_ekf_fleet_reset,
+    sqrt_ekf_fleet_update,
 )
 from smooth_feedback_tpu.groups import SE2, SO3
 
@@ -98,8 +101,41 @@ def bench_vmap(G, name, B=4096, reps=20):
     print(f"{name} vmap layout:  {rate:,.0f} predict+update/sec (B={B})")
 
 
+def bench_sqrt_fleet(G, name, B=4096, nscan=100, reps=3):
+    g0, dyn, meas, Q, R = _problem(G, B)
+    fleet0 = sqrt_ekf_fleet_reset(G, g0)
+
+    @jax.jit
+    def chain(fleet, key):
+        def body(s, k):
+            noise = 0.05 * jax.random.normal(k, (B, G.ndof), jnp.float32)
+            y = jax.vmap(meas)(s.g) + noise
+            s = sqrt_ekf_fleet_predict(G, dyn, s, Q, 0.05, n_steps=1)
+            s = sqrt_ekf_fleet_update(G, meas, s, y, R)
+            return s, None
+
+        s, _ = jax.lax.scan(body, fleet, jax.random.split(key, nscan))
+        return s
+
+    s = chain(fleet0, jax.random.PRNGKey(1))
+    np.asarray(s.g[0])
+    best = np.inf
+    for r in range(reps):
+        t0 = time.perf_counter()
+        s = chain(s, jax.random.PRNGKey(100 + r))
+        np.asarray(s.g[0])
+        best = min(best, time.perf_counter() - t0)
+    rate = B * nscan / best
+    print(
+        f"{name} sqrt fleet:   {rate:,.0f} predict+update/sec "
+        f"(B={B}, {best * 1e3 / nscan:.3f} ms/fleet-step)"
+    )
+
+
 if __name__ == "__main__":
     bench_fleet(SO3, "SO(3)")
     bench_fleet(SE2, "SE(2)")
+    bench_sqrt_fleet(SO3, "SO(3)")
+    bench_sqrt_fleet(SE2, "SE(2)")
     bench_vmap(SO3, "SO(3)")
     bench_vmap(SE2, "SE(2)")

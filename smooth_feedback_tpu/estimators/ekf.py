@@ -518,6 +518,141 @@ def ekf_fleet_update(
     return EKFFleetState(g=g_new, Pt=Pt_new)
 
 
+class SqrtEKFFleetState(NamedTuple):
+    """Square-root fleet state: ``g`` batch-leading, Cholesky factors
+    batch-trailing (``St[:, :, b] St[:, :, b]' = P_b``)."""
+
+    g: jax.Array  # (B, nparams)
+    St: jax.Array  # (ndof, ndof, B) lower-triangular stack
+
+
+def sqrt_ekf_fleet_reset(
+    G: LieGroup, g: jax.Array, P: Optional[jax.Array] = None
+) -> SqrtEKFFleetState:
+    B = g.shape[0]
+    if P is None:
+        P = jnp.eye(G.ndof, dtype=jnp.result_type(g))
+    P = jnp.asarray(P)
+    if P.ndim == 2:
+        St = jnp.broadcast_to(
+            _psd_sqrt_lower(P)[:, :, None], (G.ndof, G.ndof, B)
+        )
+    else:
+        St = jnp.moveaxis(jax.vmap(_psd_sqrt_lower)(P), 0, -1)
+    return SqrtEKFFleetState(g=g, St=St)
+
+
+def _sqrt_noise_t(M, h, dtype, B):
+    """Cholesky-like factor stack of shared/per-member noise, trailing."""
+    M = jnp.asarray(M, dtype)
+    if M.ndim == 2:
+        return _psd_sqrt_lower(M * h)[:, :, None] * jnp.ones((1, 1, B), dtype)
+    if M.shape[0] == B:  # (B, n, n)
+        return jnp.moveaxis(jax.vmap(lambda Mi: _psd_sqrt_lower(Mi * h))(M), 0, -1)
+    return jnp.moveaxis(
+        jax.vmap(lambda Mi: _psd_sqrt_lower(Mi * h))(jnp.moveaxis(M, -1, 0)), 0, -1
+    )
+
+
+def sqrt_ekf_fleet_predict(
+    G: LieGroup,
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    state: SqrtEKFFleetState,
+    Q: jax.Array,
+    tau,
+    n_steps: int = 1,
+) -> SqrtEKFFleetState:
+    """Fleet :func:`sqrt_ekf_predict` in batch-trailing layout: per Euler
+    substep ``S <- qr_lower([Phi S, chol(h Q)])`` via the unrolled trailing
+    Householder QR (utils/linalg.qr_lower_lane) — the array form's
+    conditioning is preserved (no Gram matrix), and the posterior factor is
+    PSD by construction.  Parity-tested against ``jax.vmap(sqrt_ekf_predict)``."""
+    from ..utils.linalg import qr_lower_lane
+
+    g, St = state
+    dtp = St.dtype
+    n, B = G.ndof, g.shape[0]
+    tau = jnp.asarray(tau, dtp)
+    h = tau / n_steps
+    z = jnp.zeros((n,), dtp)
+    eye = jnp.eye(n, dtype=dtp)
+    adgen = jnp.stack([G.ad(eye[:, k]) for k in range(n)])
+
+    with jax.default_matmul_precision("highest"):
+        Qh = _sqrt_noise_t(Q, h, dtp, B)
+
+        def body(carry, i):
+            g, St = carry
+            t = i * h
+            fv = jax.vmap(lambda gi: f(t, gi))(g)
+            J = jax.vmap(
+                lambda gi: jax.jacfwd(lambda w: f(t, G.rplus(gi, w)))(z)
+            )(g)
+            At = -jnp.einsum("kij,kb->ijb", adgen, fv.T) + jnp.moveaxis(J, 0, -1)
+            Phi = eye[:, :, None] + h * At
+            pre = jnp.concatenate([_mm_t(Phi, St), Qh * jnp.ones_like(St)], axis=1)
+            St = qr_lower_lane(pre)
+            g = jax.vmap(lambda gi, fi: G.rplus(gi, h * fi))(g, fv)
+            return (g, St), None
+
+        (g, St), _ = jax.lax.scan(body, (g, St), jnp.arange(n_steps))
+    return SqrtEKFFleetState(g=g, St=St)
+
+
+def sqrt_ekf_fleet_update(
+    G: LieGroup,
+    h: Callable[[jax.Array], jax.Array],
+    state: SqrtEKFFleetState,
+    y: jax.Array,
+    R: jax.Array,
+    Y: Optional[LieGroup] = None,
+) -> SqrtEKFFleetState:
+    """Fleet :func:`sqrt_ekf_update` (Kailath QR array algorithm) in
+    batch-trailing layout; parity-tested against the vmapped form."""
+    from ..utils.linalg import qr_lower_lane
+
+    g, St = state
+    dtp = St.dtype
+    n, B = G.ndof, g.shape[0]
+    z = jnp.zeros((n,), dtp)
+
+    hval = jax.vmap(h)(g)
+    if Y is None:
+        H = jax.vmap(lambda gi: jax.jacfwd(lambda w: h(G.rplus(gi, w)))(z))(g)
+        innov = y - hval
+    else:
+        H = jax.vmap(
+            lambda gi, hi: jax.jacfwd(
+                lambda w: Y.rminus(h(G.rplus(gi, w)), hi)
+            )(z)
+        )(g, hval)
+        innov = jax.vmap(Y.rminus)(y, hval)
+    m = H.shape[1]
+
+    with jax.default_matmul_precision("highest"):
+        Ht = jnp.moveaxis(H, 0, -1)  # (m, n, B)
+        Rh = _sqrt_noise_t(R, 1.0, dtp, B)
+        HS = _mm_t(Ht, St)  # (m, n, B)
+        top = jnp.concatenate([Rh * jnp.ones((1, 1, B), dtp), HS], axis=1)
+        bot = jnp.concatenate([jnp.zeros((n, m, B), dtp), St], axis=1)
+        T = qr_lower_lane(jnp.concatenate([top, bot], axis=0))
+        X = T[:m, :m]  # innovation factor (lower)
+        Yb = T[m:, :m]  # (n, m, B)
+        Z = T[m:, m:]  # posterior factor
+        # K = Yb X^{-1}: back-substitute columns of the LOWER-triangular X
+        # (descending k: K[:,k] = (Yb[:,k] - sum_{j>k} K[:,j] X[j,k]) / X[k,k])
+        Kcols = [None] * m
+        for k in reversed(range(m)):
+            acc = Yb[:, k]
+            for j in range(k + 1, m):
+                acc = acc - Kcols[j] * X[j, k][None, :]
+            Kcols[k] = acc / X[k, k][None, :]
+        Kt = jnp.stack(Kcols, axis=1)  # (n, m, B)
+        dg = _mv_t(Kt, innov.T)
+        g_new = jax.vmap(G.rplus)(g, dg.T)
+    return SqrtEKFFleetState(g=g_new, St=Z)
+
+
 class EKF:
     """Thin stateful convenience wrapper mirroring the reference class API
     (ekf.hpp:27).  For batched/jitted use prefer the functional

@@ -96,3 +96,51 @@ def chol_solve_lane(L, B):
             acc = acc - L[j, i][None, :] * X[j]
         X[i] = acc / L[i, i][None, :]
     return jnp.stack(X)
+
+
+def qr_lower_lane(M):
+    """Lower-triangular stack T with ``T T' = M M'`` for (r, c, B) stacks.
+
+    The batch-trailing analog of the square-root filters' ``_qr_lower``
+    (thin-QR of M'): an unrolled Householder QR over the static (r, c) dims
+    with all arithmetic on (B,)-lane vectors, so the conditioning advantage
+    of the array form is preserved (no Gram matrix is ever formed).
+    Sign-normalized to a non-negative diagonal."""
+    r, c, B = M.shape
+    A = jnp.swapaxes(M, 0, 1)  # (c, r, B) — QR of M'
+    eps = jnp.finfo(A.dtype).tiny
+    for k in range(r):
+        x = A[k:, k]  # (c-k, B)
+        normx = jnp.sqrt((x * x).sum(axis=0))
+        sign = jnp.where(A[k, k] >= 0, 1.0, -1.0)
+        alpha = -sign * normx
+        v = x.at[0].add(-alpha)  # x - alpha e1
+        vnorm2 = (v * v).sum(axis=0)
+        degenerate = vnorm2 <= eps
+        beta = jnp.where(degenerate, 0.0, 2.0 / jnp.where(degenerate, 1.0, vnorm2))
+        for j in range(k, r):
+            w = (v * A[k:, j]).sum(axis=0)  # (B,)
+            A = A.at[k:, j].add(-beta[None, :] * w[None, :] * v)
+    R = A[:r]  # (r, r, B) upper-triangular (numerically)
+    s = jnp.sign(jnp.where(
+        jnp.stack([R[i, i] for i in range(r)]) == 0,
+        1.0,
+        jnp.stack([R[i, i] for i in range(r)]),
+    ))  # (r, B)
+    Rn = R * s[:, None, :]
+    T = jnp.swapaxes(Rn, 0, 1)  # lower
+    # zero the strict upper part (roundoff dust above the diagonal)
+    mask = jnp.tril(jnp.ones((r, r), dtype=M.dtype))[:, :, None]
+    return T * mask
+
+
+def tri_solve_lower_lane(L, B):
+    """Solve L X = B with (m, m, B)-stack lower-triangular L, (m, k, B) B."""
+    m = B.shape[0]
+    X = [None] * m
+    for i in range(m):
+        acc = B[i]
+        for j in range(i):
+            acc = acc - L[i, j][None, :] * X[j]
+        X[i] = acc / L[i, i][None, :]
+    return jnp.stack(X)

@@ -421,3 +421,76 @@ def test_fleet_per_member_noise():
     ref = jax.vmap(one)(g0, P0, Qs, Rs, y)
     np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
+
+
+@pytest.mark.parametrize("G", [SO3, SE2], ids=["SO3", "SE2"])
+def test_sqrt_fleet_matches_vmap(G):
+    """sqrt_ekf_fleet_predict/update (trailing Householder QR array form)
+    match jax.vmap(sqrt_ekf_predict/sqrt_ekf_update) exactly (unique
+    sign-normalized factors)."""
+    from smooth_feedback_tpu.estimators import (
+        SqrtEKFState,
+        sqrt_ekf_fleet_predict,
+        sqrt_ekf_fleet_reset,
+        sqrt_ekf_fleet_update,
+        sqrt_ekf_predict,
+        sqrt_ekf_reset,
+        sqrt_ekf_update,
+    )
+
+    B = 24
+    g0, P0 = _fleet_setup(G, B, key=23)
+    twist = 0.1 * jnp.arange(1, G.ndof + 1, dtype=jnp.float64)
+    f = lambda t, g: twist + 0.1 * G.log(g)
+    meas = lambda g: jnp.tanh(G.log(g))
+    Q = 0.01 * jnp.eye(G.ndof) + 0.002 * jnp.ones((G.ndof, G.ndof))
+    R = 0.05 * jnp.eye(G.ndof)
+    y = jax.vmap(meas)(g0) + 0.05
+
+    fleet = sqrt_ekf_fleet_reset(G, g0, P0)
+    fleet = jax.jit(
+        lambda s: sqrt_ekf_fleet_predict(G, f, s, Q, 0.3, n_steps=3)
+    )(fleet)
+    fleet = jax.jit(lambda s: sqrt_ekf_fleet_update(G, meas, s, y, R))(fleet)
+
+    def one(gi, Pi, yi):
+        s = sqrt_ekf_reset(G, gi, Pi)
+        s = sqrt_ekf_predict(G, f, s, Q, 0.3, n_steps=3)
+        s = sqrt_ekf_update(G, meas, s, yi, R)
+        return s.g, s.S
+
+    g_ref, S_ref = jax.jit(jax.vmap(one))(g0, P0, y)
+    np.testing.assert_allclose(np.asarray(fleet.g), np.asarray(g_ref), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(fleet.St, -1, 0)), np.asarray(S_ref), atol=1e-10
+    )
+
+
+def test_sqrt_fleet_manifold_measurement():
+    from smooth_feedback_tpu.estimators import (
+        sqrt_ekf_fleet_reset,
+        sqrt_ekf_fleet_update,
+        sqrt_ekf_reset,
+        sqrt_ekf_update,
+    )
+
+    G = SE2
+    B = 8
+    g0, P0 = _fleet_setup(G, B, key=29)
+    meas = lambda g: g
+    R = 0.05 * jnp.eye(G.ndof)
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (B, G.ndof))
+    y = jax.vmap(lambda gi, wi: G.rplus(gi, wi))(g0, noise)
+
+    fleet = sqrt_ekf_fleet_reset(G, g0, P0)
+    fleet = jax.jit(lambda s: sqrt_ekf_fleet_update(G, meas, s, y, R, Y=G))(fleet)
+
+    def one(gi, Pi, yi):
+        s = sqrt_ekf_update(G, meas, sqrt_ekf_reset(G, gi, Pi), yi, R, Y=G)
+        return s.g, s.S
+
+    g_ref, S_ref = jax.jit(jax.vmap(one))(g0, P0, y)
+    np.testing.assert_allclose(np.asarray(fleet.g), np.asarray(g_ref), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(fleet.St, -1, 0)), np.asarray(S_ref), atol=1e-10
+    )

@@ -168,3 +168,27 @@ def test_sharded_ekf_fleet_matches_single_device(mesh):
         np.asarray(local.Pt), np.asarray(sharded.Pt), atol=1e-12
     )
     assert len(sharded.Pt.sharding.device_set) == len(jax.devices())
+
+
+def test_sharded_lane_qp_matches_single_device(mesh):
+    """The lane (batch-trailing) QP backend partitions under data-parallel
+    sharding: internally the batch axis moves to the lanes, but XLA
+    propagates the sharding through the transposes and elementwise stack
+    algebra."""
+    import dataclasses
+
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(21), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=4, m=10))(keys)
+    prm = dataclasses.replace(
+        QPSolverParams(polish=False), backend="lane", adaptive_rho=True
+    )
+
+    sol_local = solve_qp_batch(qps, prm)
+    sol_sharded = solve_qp_batch(shard_pytree(qps, mesh), prm)
+    np.testing.assert_allclose(
+        np.asarray(sol_local.primal), np.asarray(sol_sharded.primal), atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sol_local.status), np.asarray(sol_sharded.status)
+    )
