@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""SE(2) EKF *fleet* localization in the TPU-native batch-trailing layout.
+
+A fleet of B unicycles is tracked simultaneously: `ekf_fleet_*` stores the
+covariance stack (ndof, ndof, B) — the fleet on the TPU lanes instead of
+padding the tiny state dim to 128 — which runs ~11x faster than
+`jax.vmap(ekf_predict/ekf_update)` on real hardware (benchmarks/ekf_bench.py).
+The square-root variant (`sqrt_ekf_fleet_*`) tracks the same fleet with a
+PSD-by-construction Cholesky factor at nearly the same speed.
+
+No reference counterpart (the reference EKF is one filter at a time,
+ekf.hpp:27-149); the estimation math is identical and parity-tested.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smooth_feedback_tpu.estimators import (
+    ekf_fleet_predict,
+    ekf_fleet_reset,
+    ekf_fleet_update,
+    sqrt_ekf_fleet_predict,
+    sqrt_ekf_fleet_reset,
+    sqrt_ekf_fleet_update,
+)
+from smooth_feedback_tpu.groups import SE2
+
+
+def main(steps: int = 200, B: int = 64):
+    key = jax.random.PRNGKey(0)
+    landmarks = jnp.array([[3.0, 1.0], [-2.0, 4.0], [1.0, -3.0], [4.0, -1.0]])
+
+    def meas(g):
+        inv = SE2.inverse(g)
+        R = jnp.array([[inv[2], -inv[3]], [inv[3], inv[2]]])
+        return (landmarks @ R.T + inv[:2]).ravel()
+
+    twist = jnp.array([1.0, 0.0, 0.4])
+    dyn = lambda t, g: twist
+    dt = 0.1
+    Q = 0.01 * jnp.eye(3)
+    R_meas = 0.001 * jnp.eye(8)
+
+    # true fleet poses and offset initial estimates
+    k1, k2, key = jax.random.split(key, 3)
+    true0 = jax.vmap(lambda k: SE2.exp(0.5 * jax.random.normal(k, (3,))))(
+        jax.random.split(k1, B)
+    )
+    est0 = jax.vmap(SE2.rplus)(true0, 0.4 * jax.random.normal(k2, (B, 3)))
+
+    def run(filter_reset, filter_predict, filter_update):
+        fleet = filter_reset(SE2, est0)
+
+        @jax.jit
+        def loop(fleet, true, key):
+            def body(carry, i):
+                fl, tp, k = carry
+                k, kn = jax.random.split(k)
+                tp = jax.vmap(lambda g: SE2.rplus(g, dt * twist))(tp)
+                fl = filter_predict(SE2, dyn, fl, Q, dt, n_steps=1)
+                y = jax.vmap(meas)(tp) + 0.03 * jax.random.normal(kn, (B, 8))
+                fl = filter_update(SE2, meas, fl, y, R_meas)
+                err = jax.vmap(SE2.rminus)(fl.g, tp)
+                return (fl, tp, k), jnp.linalg.norm(err, axis=-1)
+
+            return jax.lax.scan(body, (fleet, true, key), jnp.arange(steps))
+
+        (_, _, _), errs = loop(fleet, true0, key)
+        return np.asarray(errs)
+
+    errs = run(ekf_fleet_reset, ekf_fleet_predict, ekf_fleet_update)
+    print(
+        f"fleet of {B}: mean pose error {errs[0].mean():.3f} -> "
+        f"{errs[-1].mean():.4f} (worst {errs[-1].max():.4f})"
+    )
+    errs_sq = run(
+        sqrt_ekf_fleet_reset, sqrt_ekf_fleet_predict, sqrt_ekf_fleet_update
+    )
+    print(
+        f"sqrt fleet:     mean pose error {errs_sq[0].mean():.3f} -> "
+        f"{errs_sq[-1].mean():.4f}"
+    )
+    if steps >= 200:
+        assert errs[-1].mean() < 0.05 and errs_sq[-1].mean() < 0.05
+    else:
+        assert errs[-1].mean() < errs[0].mean()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ EXAMPLES = sorted(EXAMPLES_DIR.glob("*.py"))
 # tiny-shape arguments per example (default-size mains are the benchmarks' job)
 SMOKE_KWARGS = {
     "asif_doubleintegrator": dict(steps=40),
+    "ekf_fleet_se2": dict(steps=40, B=8),
     "ekf_se2_localization": dict(steps=40),
     "mpc_asif_vehicle": dict(steps=3, K_mpc=8, K_asif=10),
     "mpc_doubleintegrator": dict(steps=30),
