@@ -191,3 +191,39 @@ def test_fleet_lane_adaptive_matches_xla():
     assert np.all(np.asarray(r_x.status) == QPSolutionStatus.Optimal)
     assert np.all(np.asarray(r_l.status) == QPSolutionStatus.Optimal)
     np.testing.assert_allclose(np.asarray(r_l.u), np.asarray(r_x.u), atol=1e-6)
+
+
+def test_fleet_transcription_matches_vmap():
+    """asif_to_qp_fleet (batch-trailing sensitivity propagation) produces
+    the same QPs as jax.vmap(asif_to_qp) to fp tolerance."""
+    from smooth_feedback_tpu.controllers.asif import asif_to_qp_fleet
+
+    X, U = SE2, Rn(2)
+    f = lambda x, u: jnp.stack([u[0], 0.1 * x[1], u[1]])
+    h = lambda t, x: jnp.stack([x[0] + 0.2 * t, 2.0 - x[1]])
+    bu = lambda t, x: jnp.stack([0.3 * x[1], -0.4 * jnp.ones(())])
+    prm = ASIFtoQPParams(K=7, dt=0.07, alpha=1.5, relax_cost=200.0)
+    W_u = jnp.array([2.0, 1.0])
+    ulim = ManifoldBounds(
+        A=jnp.eye(2), c=jnp.zeros(2),
+        l=jnp.array([-0.3, -0.6]), u=jnp.array([0.4, 0.6]),
+    )
+    B = 6
+    keys = jax.random.split(jax.random.PRNGKey(31), B)
+    xs = jax.vmap(lambda k: SE2.exp(0.4 * jax.random.normal(k, (3,))))(keys)
+    uds = 0.2 * jax.random.normal(jax.random.PRNGKey(32), (B, 2))
+
+    qps_fleet = jax.jit(
+        lambda xs_, uds_: asif_to_qp_fleet(
+            X, U, prm, 1.1, xs_, uds_, W_u, ulim, f, h, bu
+        )
+    )(xs, uds)
+    qps_vmap = jax.jit(
+        jax.vmap(
+            lambda x, ud: asif_to_qp(X, U, prm, 1.1, x, ud, W_u, ulim, f, h, bu)
+        )
+    )(xs, uds)
+    for a, b, name in zip(qps_fleet, qps_vmap, ("P", "q", "A", "l", "u")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-11, err_msg=name
+        )
