@@ -336,8 +336,8 @@ def sqrt_ekf_update(
 # batch dim (never dot_general, so XLA cannot canonicalize the layout away),
 # with the per-member user callables (f, h and their tangent Jacobians) still
 # evaluated batch-leading and moved across once per step.
-# Measured (v5e, B=4096, scan-chained): 15.0M SO(3) / 12.6M SE(2)
-# predict+update/s vs 1.26M for the vmapped layout.
+# Measured (v5e, B=4096, scan-chained): 14.8M SO(3) / 13.6M SE(2)
+# predict+update/s vs 1.35M for the vmapped layout.
 
 
 class EKFFleetState(NamedTuple):
@@ -384,12 +384,13 @@ from ..utils.linalg import (
 
 
 def _noise_t(M, dtype, B):
-    """Shared (n,n) or per-member (B,n,n)/(n,n,B) noise -> (n,n,B)."""
+    """Shared (n, n) or per-member batch-LEADING (B, n, n) noise -> (n, n, B).
+
+    3-D input is always interpreted batch-leading (the documented form) —
+    never trailing, which would be ambiguous whenever B == n."""
     M = jnp.asarray(M, dtype)
     if M.ndim == 2:
         return M[:, :, None]
-    if M.shape[-1] == B and M.shape[0] == M.shape[1]:
-        return M
     return jnp.moveaxis(M, 0, -1)
 
 
@@ -543,15 +544,12 @@ def sqrt_ekf_fleet_reset(
 
 
 def _sqrt_noise_t(M, h, dtype, B):
-    """Cholesky-like factor stack of shared/per-member noise, trailing."""
+    """Factor stack of shared (n, n) / per-member batch-LEADING (B, n, n)
+    noise, trailing layout (same convention as :func:`_noise_t`)."""
     M = jnp.asarray(M, dtype)
     if M.ndim == 2:
         return _psd_sqrt_lower(M * h)[:, :, None] * jnp.ones((1, 1, B), dtype)
-    if M.shape[0] == B:  # (B, n, n)
-        return jnp.moveaxis(jax.vmap(lambda Mi: _psd_sqrt_lower(Mi * h))(M), 0, -1)
-    return jnp.moveaxis(
-        jax.vmap(lambda Mi: _psd_sqrt_lower(Mi * h))(jnp.moveaxis(M, -1, 0)), 0, -1
-    )
+    return jnp.moveaxis(jax.vmap(lambda Mi: _psd_sqrt_lower(Mi * h))(M), 0, -1)
 
 
 def sqrt_ekf_fleet_predict(

@@ -41,12 +41,15 @@ def shard_trailing(array, mesh: Mesh, axis_name: str = "dp"):
 
 
 def shard_ekf_fleet(fleet, mesh: Mesh, axis_name: str = "dp"):
-    """Shard an ``EKFFleetState`` across the mesh: ``g`` on its leading
-    (batch) axis, ``Pt`` on its trailing (lane/batch) axis."""
-    return type(fleet)(
-        g=shard_batch(fleet.g, mesh, axis_name),
-        Pt=shard_trailing(fleet.Pt, mesh, axis_name),
-    )
+    """Shard a fleet filter state across the mesh: ``g`` on its leading
+    (batch) axis, the covariance/factor stack on its trailing (lane/batch)
+    axis.  Works for both ``EKFFleetState`` (field ``Pt``) and
+    ``SqrtEKFFleetState`` (field ``St``)."""
+    g_field, stack_field = fleet._fields
+    return type(fleet)(**{
+        g_field: shard_batch(getattr(fleet, g_field), mesh, axis_name),
+        stack_field: shard_trailing(getattr(fleet, stack_field), mesh, axis_name),
+    })
 
 
 def shard_pytree(tree, mesh: Mesh, axis_name: str = "dp"):

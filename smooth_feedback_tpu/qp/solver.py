@@ -457,7 +457,7 @@ def _factorize_lane(Pt, qt, At, lt, ut, prm):
     )
     eyeB = jnp.broadcast_to(jnp.eye(n, dtype=dt)[:, :, None], (n, n, B))
     Minvt = chol_solve_lane(L, eyeB)
-    return c, sx, sy, rho, Mredt, Minvt, jnp.logical_not(fact_fail)
+    return c, sx, sy, rho, Pst, Ast, Mredt, Minvt, jnp.logical_not(fact_fail)
 
 
 def _stopping_check_lane(prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us):
@@ -569,7 +569,7 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
     qt, lt, ut = q.T, l.T, u.T
 
     if factors is None:
-        c, sx, sy, rho, Mredt, Minvt, fact_ok = _factorize_lane(
+        c, sx, sy, rho, Pst, Ast, Mredt, Minvt, fact_ok = _factorize_lane(
             Pt, qt, At, lt, ut, prm
         )
     else:
@@ -577,6 +577,8 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
         sx = factors.sx.T
         sy = factors.sy.T
         rho = factors.rho.T
+        Pst = jnp.moveaxis(factors.Ps, 0, -1)
+        Ast = jnp.moveaxis(factors.As, 0, -1)
         Mredt = jnp.moveaxis(factors.Mred, 0, -1)
         Minvt = jnp.moveaxis(factors.Minv, 0, -1)
         fact_ok = factors.fact_ok
@@ -596,8 +598,6 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
 
     A_mv = lambda xv: (At * xv[None, :, :]).sum(axis=1)
 
-    # scaled A for the iteration (recompute cheaply in trailing layout)
-    Ast = sy[:, None, :] * At * sx[None, :, :]
     As_mv = lambda xv: (Ast * xv[None, :, :]).sum(axis=1)  # (m, B)
     AsT_mv = lambda v: (Ast * v[:, None, :]).sum(axis=0)  # (n, B)
 
@@ -623,14 +623,17 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
     # rows whose rho is pinned (unbounded, qp_solver.hpp:361-374) never adapt
     rho_pinned = jnp.logical_and(lt == -inf, ut == inf)
 
+    # loop-invariant part of the reduced KKT matrix (finding: rebuilding the
+    # scaled P stack inside every in-loop refactorization is pure waste)
+    M0 = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None]
+
     def _refactor(rho_):
         from ..utils.linalg import chol_lane, chol_solve_lane
 
         ArA = ((Ast * rho_[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(
             axis=0
         )
-        Pst = c[None, None, :] * sx[:, None, :] * sx[None, :, :] * Pt
-        Mredt_ = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None] + ArA
+        Mredt_ = M0 + ArA
         L = chol_lane(Mredt_)
         bad = jnp.logical_not(jnp.isfinite(L).all(axis=(0, 1)))
         L = jnp.where(bad[None, None, :], jnp.eye(n, dtype=dt)[:, :, None], L)

@@ -123,7 +123,7 @@ class QPSolverParams:
     adaptive_rho_tol: float = 5.0
     # Print batch residual summaries at every stopping check (the analog of
     # the reference's verbose iteration rows, qp_solver.hpp:409-419); uses
-    # jax.debug.print, XLA backend only.
+    # jax.debug.print, xla and lane backends (CPU-only under the axon plugin).
     verbose: bool = False
 
 

@@ -132,15 +132,3 @@ def qr_lower_lane(M):
     # zero the strict upper part (roundoff dust above the diagonal)
     mask = jnp.tril(jnp.ones((r, r), dtype=M.dtype))[:, :, None]
     return T * mask
-
-
-def tri_solve_lower_lane(L, B):
-    """Solve L X = B with (m, m, B)-stack lower-triangular L, (m, k, B) B."""
-    m = B.shape[0]
-    X = [None] * m
-    for i in range(m):
-        acc = B[i]
-        for j in range(i):
-            acc = acc - L[i, j][None, :] * X[j]
-        X[i] = acc / L[i, i][None, :]
-    return jnp.stack(X)

@@ -494,3 +494,55 @@ def test_sqrt_fleet_manifold_measurement():
     np.testing.assert_allclose(
         np.asarray(jnp.moveaxis(fleet.St, -1, 0)), np.asarray(S_ref), atol=1e-10
     )
+
+
+def test_fleet_per_member_noise_B_equals_ndof():
+    """Regression: per-member (B, n, n) noise with B == ndof used to be
+    silently misread as an already-trailing (n, n, B) stack (and the sqrt
+    form resolved the ambiguity the opposite way).  3-D noise is now always
+    batch-leading; both forms must match vmap exactly at B == n."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_predict,
+        ekf_fleet_reset,
+        ekf_fleet_states,
+        ekf_fleet_update,
+        sqrt_ekf_fleet_predict,
+        sqrt_ekf_fleet_reset,
+    )
+
+    G = SO3
+    B = G.ndof  # the ambiguous case
+    g0, P0 = _fleet_setup(G, B, key=37)
+    f = lambda t, g: 0.2 * G.log(g)
+    meas = lambda g: G.log(g)
+    Qs = jnp.stack([(0.01 + 0.05 * i) * jnp.eye(G.ndof) for i in range(B)])
+    Rs = jnp.stack([(0.05 + 0.02 * i) * jnp.eye(G.ndof) for i in range(B)])
+    y = jax.vmap(meas)(g0) + 0.05
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    fleet = ekf_fleet_predict(G, f, fleet, Qs, 0.2, n_steps=2)
+    got = ekf_fleet_states(G, ekf_fleet_update(G, meas, fleet, y, Rs))
+
+    def one(gi, Pi, Qi, Ri, yi):
+        s = ekf_predict(G, f, EKFState(g=gi, P=Pi), Qi, 0.2, n_steps=2)
+        return ekf_update(G, meas, s, yi, Ri)
+
+    ref = jax.vmap(one)(g0, P0, Qs, Rs, y)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
+
+    # sqrt form: same convention
+    from smooth_feedback_tpu.estimators import sqrt_ekf_predict, sqrt_ekf_reset
+
+    sq = sqrt_ekf_fleet_reset(G, g0, P0)
+    sq = sqrt_ekf_fleet_predict(G, f, sq, Qs, 0.2, n_steps=2)
+
+    def one_sq(gi, Pi, Qi):
+        s = sqrt_ekf_predict(G, f, sqrt_ekf_reset(G, gi, Pi), Qi, 0.2, n_steps=2)
+        return s.g, s.S
+
+    g_ref, S_ref = jax.vmap(one_sq)(g0, P0, Qs)
+    np.testing.assert_allclose(np.asarray(sq.g), np.asarray(g_ref), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(sq.St, -1, 0)), np.asarray(S_ref), atol=1e-12
+    )

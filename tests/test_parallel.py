@@ -192,3 +192,32 @@ def test_sharded_lane_qp_matches_single_device(mesh):
     np.testing.assert_array_equal(
         np.asarray(sol_local.status), np.asarray(sol_sharded.status)
     )
+
+
+def test_shard_ekf_fleet_sqrt_form(mesh):
+    """shard_ekf_fleet handles SqrtEKFFleetState (field St, not Pt) too."""
+    from smooth_feedback_tpu.estimators import (
+        sqrt_ekf_fleet_reset,
+        sqrt_ekf_fleet_update,
+    )
+    from smooth_feedback_tpu.groups import SO3
+    from smooth_feedback_tpu.parallel import shard_ekf_fleet
+
+    G = SO3
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(41), B)
+    g0 = jax.vmap(lambda k: G.random(k, 0.3))(keys)
+    meas = lambda g: G.log(g)
+    R = 0.05 * jnp.eye(G.ndof)
+    y = jax.vmap(meas)(g0) + 0.05
+
+    @jax.jit
+    def step(s):
+        return sqrt_ekf_fleet_update(G, meas, s, y, R)
+
+    local = step(sqrt_ekf_fleet_reset(G, g0))
+    sharded = step(shard_ekf_fleet(sqrt_ekf_fleet_reset(G, g0), mesh))
+    np.testing.assert_allclose(
+        np.asarray(local.St), np.asarray(sharded.St), atol=1e-12
+    )
+    assert len(sharded.St.sharding.device_set) == len(jax.devices())
