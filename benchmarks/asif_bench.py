@@ -83,6 +83,10 @@ def build(dtype):
         # eliminated at construction (condensed MPC — exact, parity-tested)
         reuse_factors=True,
         condense=True,
+        # the screw reference makes the shared template vectors t-invariant:
+        # hoist the per-step template transcription to construction
+        # (validated; exact for screws)
+        static_reference=True,
     )
 
     def h(t, x):

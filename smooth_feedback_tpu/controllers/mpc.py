@@ -173,6 +173,7 @@ def make_mpc_step(
     time_varying: bool = False,
     validate_reuse: bool = True,
     condense: bool = False,
+    static_reference: bool = False,
 ):
     """Build the functional MPC step.
 
@@ -211,6 +212,15 @@ def make_mpc_step(
         has no condensed mode (its sparse LDLT prefers the banded form,
         qp_solver.hpp:423-429); dense condensation is the TPU-native choice
         for long-lived LTI fleets.
+      static_reference: (condense only) declare the shared template VECTORS
+        (dynamics offsets, cost linear terms, cr bounds) time-invariant —
+        true when the reference is a group screw ``xdes(t) = x0 exp(t v)``
+        with constant ``udes``: the relative geometry the template expands
+        around is the same at every t.  The per-step template transcription
+        is then hoisted to construction, leaving only the per-member
+        initial-condition terms per step.  Validated at construction by
+        comparing the template pieces at two times (same protocol as
+        ``validate_reuse``); raises if they differ.
 
     Returns ``(step, init_warmstart)`` where
     ``step(warmstart, t, x) -> MPCStepResult`` is jit/vmap/scan-compatible.
@@ -483,6 +493,8 @@ def make_mpc_step(
             dual_res=jnp.asarray(jnp.inf, dtype),
         )
 
+    if static_reference and not condense:
+        raise ValueError("static_reference requires condense=True")
     if condense:
         from ..qp.solver import qp_factorize as _qp_factorize
 
@@ -503,6 +515,22 @@ def make_mpc_step(
 
         # one-time factorization of the condensed template (t = 0, b0 = 0)
         b_dyn0, lcr0, ucr0, qx0, qu0 = jax.jit(_cond_pieces)(jnp.zeros((), dtype))
+        if static_reference:
+            # the screw-reference invariance claim: every shared template
+            # vector must be the same at an unrelated probe time
+            probe = jax.jit(_cond_pieces)(jnp.asarray(0.37, dtype))
+            tol_sr = 50 * float(jnp.finfo(jnp.asarray(0.0, dtype).dtype).eps)
+            for ref, got, nm in zip(
+                (b_dyn0, lcr0, ucr0, qx0, qu0), probe,
+                ("b_dyn", "lcr", "ucr", "qx", "qu"),
+            ):
+                scale = 1.0 + float(jnp.max(jnp.abs(ref), initial=0.0))
+                if not bool(jnp.allclose(ref, got, atol=tol_sr * scale)):
+                    raise ValueError(
+                        f"static_reference: template piece {nm!r} varies "
+                        "with t (is xdes a group screw with constant udes?) "
+                        "— drop static_reference=True"
+                    )
         wx0 = cond["C0d"] @ b_dyn0
         if crL > 0:
             Ac = cond["Ac"]
@@ -539,7 +567,10 @@ def make_mpc_step(
             with jax.default_matmul_precision("highest"):
                 t = jnp.asarray(t, dtype)
                 B = int(xs.shape[0])
-                b_dyn, lcr, ucr, qx, qu = _cond_pieces(t)
+                if static_reference:
+                    b_dyn, lcr, ucr, qx, qu = b_dyn0, lcr0, ucr0, qx0, qu0
+                else:
+                    b_dyn, lcr, ucr, qx, qu = _cond_pieces(t)
                 b0 = -jax.vmap(lambda x: X.rminus(xdes(t), x))(xs)  # (B, nx)
 
                 wx_shared = cond["C0d"] @ b_dyn  # (xL,)

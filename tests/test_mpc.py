@@ -566,3 +566,56 @@ def test_condensed_f32_group_state_offset_reference():
     assert int(rs.status) == QPSolutionStatus.Optimal
     assert int(rc.status) == QPSolutionStatus.Optimal
     np.testing.assert_allclose(np.asarray(rc.u), np.asarray(rs.u), atol=1e-3)
+
+
+def test_static_reference_matches_dynamic():
+    """static_reference=True (template pieces hoisted to construction) is
+    exact for a screw reference; a non-screw reference is rejected."""
+    X, U = SE2, Rn(2)
+    f = lambda x, u: jnp.stack([u[0], jnp.zeros(()), u[1]])
+    twist = jnp.array([0.5, 0.0, 0.3])
+    xdes = lambda t: SE2.exp(t * twist)
+    udes = lambda t: jnp.stack([twist[0], twist[2]])
+    dxdes = lambda t: twist
+    qp_prm = QPSolverParams(eps_abs=1e-9, eps_rel=1e-9, max_iter=20000)
+
+    def build(static):
+        return make_mpc_step(
+            X, U, f, xdes, udes, dxdes=dxdes,
+            weights=MPCWeights(Q=jnp.eye(3), Qtf=5 * jnp.eye(3),
+                               R=0.1 * jnp.eye(2)),
+            params=MPCParams(K=8, tf=3.0, qp=qp_prm),
+            cr=lambda x, u: u, crl=jnp.array([-1.0, -1.0]),
+            cru=jnp.array([1.0, 1.0]),
+            reuse_factors=True, condense=True, static_reference=static,
+        )
+
+    step_d, ws = build(False)
+    step_s, _ = build(True)
+    B = 4
+    offs = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (B, 3))
+    t = 0.8
+    xs = jax.vmap(lambda w: SE2.rplus(xdes(t), w))(offs)
+    wss = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ws)
+    rd = jax.jit(step_d.fleet_shared_t)(wss, t, xs)
+    rs = jax.jit(step_s.fleet_shared_t)(wss, t, xs)
+    assert np.all(np.asarray(rd.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(rs.u), np.asarray(rd.u), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(rs.x_traj), np.asarray(rd.x_traj), atol=1e-9
+    )
+
+    # a non-screw (sinusoid) reference must be rejected at construction
+    xdes_bad = lambda t: SE2.exp(jnp.stack([jnp.sin(t), 0.0 * t, 0.3 * t]))
+    dxdes_bad = None
+    with pytest.raises(ValueError, match="static_reference"):
+        make_mpc_step(
+            X, U, f, xdes_bad, udes,
+            weights=MPCWeights(Q=jnp.eye(3), Qtf=5 * jnp.eye(3),
+                               R=0.1 * jnp.eye(2)),
+            params=MPCParams(K=8, tf=3.0, qp=qp_prm),
+            cr=lambda x, u: u, crl=jnp.array([-1.0, -1.0]),
+            cru=jnp.array([1.0, 1.0]),
+            reuse_factors=True, condense=True, static_reference=True,
+            validate_reuse=False,
+        )
