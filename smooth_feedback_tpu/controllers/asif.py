@@ -23,7 +23,8 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..groups.base import LieGroup
+from ..groups.base import LieGroup, ad_generators
+from ..utils.linalg import mm_lane
 from ..qp.solver import solve_qp_batch
 from ..qp.types import QPSolution, QPSolutionStatus, QPSolverParams, QuadraticProgram
 from ..utils.bounds import ManifoldBounds
@@ -185,8 +186,6 @@ def asif_to_qp_fleet(
 
 
 def _asif_to_qp_fleet_impl(X, U, prm, T, xs, u_des, W_u, ulim, f, h, bu):
-    from ..utils.linalg import mm_lane
-
     nx, nu = X.ndof, U.ndof
     B = xs.shape[0]
     dt_ = jnp.result_type(xs)
@@ -202,7 +201,7 @@ def _asif_to_qp_fleet_impl(X, U, prm, T, xs, u_des, W_u, ulim, f, h, bu):
     eye = jnp.eye(nx, dtype=dt_)
     # ad is linear: constant generators let ad(f_cl) assemble in trailing
     # layout straight from the (nx, B) velocity stack
-    adgen = jnp.stack([X.ad(eye[:, k]) for k in range(nx)])  # (nx, nx, nx)
+    adgen = ad_generators(X, dt_)
 
     # dynamics value and input jacobian at the current states
     f0 = jax.vmap(f)(xs, u_des)  # (B, nx)

@@ -17,7 +17,15 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..groups.base import LieGroup
+from ..groups.base import LieGroup, ad_generators
+from ..utils.linalg import (
+    chol_lane as _chol_t,
+    chol_solve_lane as _chol_solve_t,
+    mm_lane as _mm_t,
+    mv_lane as _mv_t,
+    qr_lower_lane as _qr_lower_t,
+    sym_lane as _sym_tt,
+)
 
 
 class EKFState(NamedTuple):
@@ -374,15 +382,6 @@ def ekf_fleet_states(G: LieGroup, fleet: EKFFleetState) -> EKFState:
     return EKFState(g=fleet.g, P=jnp.moveaxis(fleet.Pt, -1, 0))
 
 
-from ..utils.linalg import (
-    chol_lane as _chol_t,
-    chol_solve_lane as _chol_solve_t,
-    mm_lane as _mm_t,
-    mv_lane as _mv_t,
-    sym_lane as _sym_tt,
-)
-
-
 def _noise_t(M, dtype, B):
     """Shared (n, n) or per-member batch-LEADING (B, n, n) noise -> (n, n, B).
 
@@ -419,10 +418,9 @@ def ekf_fleet_predict(
     h = tau / n_steps
     z = jnp.zeros((n,), dtp)
     Qt = _noise_t(Q, dtp, B)
-    # ad is linear in v: extract its (constant) generators once so ad(f) can
-    # be assembled directly in trailing layout from the (n, B) velocity stack
-    eye = jnp.eye(n, dtype=dtp)
-    adgen = jnp.stack([G.ad(eye[:, k]) for k in range(n)])  # (n, n, n)
+    # ad is linear in v: its constant generators let ad(f) assemble
+    # directly in trailing layout from the (n, B) velocity stack
+    adgen = ad_generators(G, dtp)
 
     def At_of(t, g):
         fv = jax.vmap(lambda gi: f(t, gi))(g)  # (B, n)
@@ -468,6 +466,23 @@ def ekf_fleet_predict(
     return EKFFleetState(g=g, Pt=Pt)
 
 
+def _fleet_meas_lin(G, h, g, y, Y, z):
+    """Shared fleet measurement linearization: per-member values, tangent
+    Jacobian H (B, m, n), and innovation (B, m)."""
+    hval = jax.vmap(h)(g)
+    if Y is None:
+        H = jax.vmap(lambda gi: jax.jacfwd(lambda w: h(G.rplus(gi, w)))(z))(g)
+        innov = y - hval
+    else:
+        H = jax.vmap(
+            lambda gi, hi: jax.jacfwd(
+                lambda w: Y.rminus(h(G.rplus(gi, w)), hi)
+            )(z)
+        )(g, hval)
+        innov = jax.vmap(Y.rminus)(y, hval)
+    return H, innov
+
+
 def ekf_fleet_update(
     G: LieGroup,
     h: Callable[[jax.Array], jax.Array],
@@ -487,24 +502,14 @@ def ekf_fleet_update(
     n, B = G.ndof, g.shape[0]
     z = jnp.zeros((n,), dtp)
 
-    hval = jax.vmap(h)(g)  # (B, m)
-    if Y is None:
-        H = jax.vmap(lambda gi: jax.jacfwd(lambda w: h(G.rplus(gi, w)))(z))(g)
-        innov = y - hval
-    else:
-        H = jax.vmap(
-            lambda gi, hi: jax.jacfwd(
-                lambda w: Y.rminus(h(G.rplus(gi, w)), hi)
-            )(z)
-        )(g, hval)
-        innov = jax.vmap(Y.rminus)(y, hval)
+    H, innov = _fleet_meas_lin(G, h, g, y, Y, z)
     m = H.shape[1]
     Rt = _noise_t(R, dtp, B)
 
     with jax.default_matmul_precision("highest"):
         Ht = jnp.moveaxis(H, 0, -1)  # (m, n, B)
         PHt = _mm_t(Pt, jnp.swapaxes(Ht, 0, 1))  # (n, m, B)
-        S = _mm_t(Ht, PHt) + Rt * jnp.ones((m, m, B), dtp)
+        S = _mm_t(Ht, PHt) + jnp.broadcast_to(Rt, (m, m, B))
         L = _chol_t(_sym_tt(S))
         Kt = jnp.swapaxes(_chol_solve_t(L, jnp.swapaxes(PHt, 0, 1)), 0, 1)
         dg = _mv_t(Kt, innov.T)  # (n, B)
@@ -514,7 +519,7 @@ def ekf_fleet_update(
         )
         Pt_new = _sym_tt(
             _mm_t(_mm_t(IKH, Pt), jnp.swapaxes(IKH, 0, 1))
-            + _mm_t(_mm_t(Kt, Rt * jnp.ones((m, m, B), dtp)), jnp.swapaxes(Kt, 0, 1))
+            + _mm_t(_mm_t(Kt, jnp.broadcast_to(Rt, (m, m, B))), jnp.swapaxes(Kt, 0, 1))
         )
     return EKFFleetState(g=g_new, Pt=Pt_new)
 
@@ -548,7 +553,7 @@ def _sqrt_noise_t(M, h, dtype, B):
     noise, trailing layout (same convention as :func:`_noise_t`)."""
     M = jnp.asarray(M, dtype)
     if M.ndim == 2:
-        return _psd_sqrt_lower(M * h)[:, :, None] * jnp.ones((1, 1, B), dtype)
+        return jnp.broadcast_to(_psd_sqrt_lower(M * h)[:, :, None], M.shape + (B,))
     return jnp.moveaxis(jax.vmap(lambda Mi: _psd_sqrt_lower(Mi * h))(M), 0, -1)
 
 
@@ -565,8 +570,6 @@ def sqrt_ekf_fleet_predict(
     Householder QR (utils/linalg.qr_lower_lane) — the array form's
     conditioning is preserved (no Gram matrix), and the posterior factor is
     PSD by construction.  Parity-tested against ``jax.vmap(sqrt_ekf_predict)``."""
-    from ..utils.linalg import qr_lower_lane
-
     g, St = state
     dtp = St.dtype
     n, B = G.ndof, g.shape[0]
@@ -574,7 +577,7 @@ def sqrt_ekf_fleet_predict(
     h = tau / n_steps
     z = jnp.zeros((n,), dtp)
     eye = jnp.eye(n, dtype=dtp)
-    adgen = jnp.stack([G.ad(eye[:, k]) for k in range(n)])
+    adgen = ad_generators(G, dtp)
 
     with jax.default_matmul_precision("highest"):
         Qh = _sqrt_noise_t(Q, h, dtp, B)
@@ -588,8 +591,8 @@ def sqrt_ekf_fleet_predict(
             )(g)
             At = -jnp.einsum("kij,kb->ijb", adgen, fv.T) + jnp.moveaxis(J, 0, -1)
             Phi = eye[:, :, None] + h * At
-            pre = jnp.concatenate([_mm_t(Phi, St), Qh * jnp.ones_like(St)], axis=1)
-            St = qr_lower_lane(pre)
+            pre = jnp.concatenate([_mm_t(Phi, St), jnp.broadcast_to(Qh, St.shape)], axis=1)
+            St = _qr_lower_t(pre)
             g = jax.vmap(lambda gi, fi: G.rplus(gi, h * fi))(g, fv)
             return (g, St), None
 
@@ -607,33 +610,21 @@ def sqrt_ekf_fleet_update(
 ) -> SqrtEKFFleetState:
     """Fleet :func:`sqrt_ekf_update` (Kailath QR array algorithm) in
     batch-trailing layout; parity-tested against the vmapped form."""
-    from ..utils.linalg import qr_lower_lane
-
     g, St = state
     dtp = St.dtype
     n, B = G.ndof, g.shape[0]
     z = jnp.zeros((n,), dtp)
 
-    hval = jax.vmap(h)(g)
-    if Y is None:
-        H = jax.vmap(lambda gi: jax.jacfwd(lambda w: h(G.rplus(gi, w)))(z))(g)
-        innov = y - hval
-    else:
-        H = jax.vmap(
-            lambda gi, hi: jax.jacfwd(
-                lambda w: Y.rminus(h(G.rplus(gi, w)), hi)
-            )(z)
-        )(g, hval)
-        innov = jax.vmap(Y.rminus)(y, hval)
+    H, innov = _fleet_meas_lin(G, h, g, y, Y, z)
     m = H.shape[1]
 
     with jax.default_matmul_precision("highest"):
         Ht = jnp.moveaxis(H, 0, -1)  # (m, n, B)
         Rh = _sqrt_noise_t(R, 1.0, dtp, B)
         HS = _mm_t(Ht, St)  # (m, n, B)
-        top = jnp.concatenate([Rh * jnp.ones((1, 1, B), dtp), HS], axis=1)
+        top = jnp.concatenate([jnp.broadcast_to(Rh, (m, m, B)), HS], axis=1)
         bot = jnp.concatenate([jnp.zeros((n, m, B), dtp), St], axis=1)
-        T = qr_lower_lane(jnp.concatenate([top, bot], axis=0))
+        T = _qr_lower_t(jnp.concatenate([top, bot], axis=0))
         X = T[:m, :m]  # innovation factor (lower)
         Yb = T[m:, :m]  # (n, m, B)
         Z = T[m:, m:]  # posterior factor

@@ -168,3 +168,14 @@ def jacobian_wrt_group(group: LieGroup, f, g: jax.Array, *args, **kwargs):
     fn = lambda w: f(group.rplus(g, w), *args, **kwargs)
     return f(g, *args, **kwargs), jax.jacfwd(fn)(z)
 
+
+def ad_generators(G, dtype=None) -> jax.Array:
+    """(ndof, ndof, ndof) stack ``adgen[k] = ad(e_k)``.
+
+    ``ad`` is linear in its tangent argument, so
+    ``ad(v) = einsum('kij,k->ij', adgen, v)`` — and for batch-trailing fleet
+    layouts ``ad`` of a (ndof, B) velocity stack assembles directly as
+    ``einsum('kij,kb->ijb', adgen, v_t)`` without materializing padded
+    (B, ndof, ndof) intermediates."""
+    eye = jnp.eye(G.ndof, dtype=dtype)
+    return jnp.stack([G.ad(eye[:, k]) for k in range(G.ndof)])
