@@ -121,30 +121,32 @@ def main(B=None):
         # initial guess: tf = 5, zero deviations
         z0 = jnp.zeros((nlp.n,)).at[0].set(5.0)
         sol = solve_nlp_sqp(nlp, z0, prm)
-        return sol.status, sol.iters, sol.kkt_res, sol.objective
+        return sol.status, sol.iters, sol.kkt_res, sol.objective, sol.qp_iters
 
     sweep = jax.jit(jax.vmap(solve_one))
     t0 = time.perf_counter()
-    st, it, kkt, obj = sweep(_random_vels(jax.random.PRNGKey(0), B))
+    st, it, kkt, obj, qpi = sweep(_random_vels(jax.random.PRNGKey(0), B))
     _ = np.asarray(st)  # host-transfer barrier
     t_compile = time.perf_counter() - t0
 
     # FRESH inputs per timed rep: the tunnel memoizes identical dispatches
     best = np.inf
-    all_st, all_it, all_kkt = [], [], []
+    all_st, all_it, all_kkt, all_qpi = [], [], [], []
     for rep in range(3):
         vels = _random_vels(jax.random.PRNGKey(100 + rep), B)
         t0 = time.perf_counter()
-        st, it, kkt, obj = sweep(vels)
+        st, it, kkt, obj, qpi = sweep(vels)
         st = np.asarray(st)  # host-transfer barrier
         best = min(best, time.perf_counter() - t0)
         all_st.append(st)
         all_it.append(np.asarray(it))
         all_kkt.append(np.asarray(kkt))
+        all_qpi.append(np.asarray(qpi))
 
     st = np.concatenate(all_st)
     it = np.concatenate(all_it)
     kkt = np.concatenate(all_kkt)
+    qpi = np.concatenate(all_qpi)
     out = {
         "metric": "se2_ocp_sqp_solves_per_sec",
         "value": round(B / best, 2),
@@ -153,6 +155,10 @@ def main(B=None):
         "optimal_pct": round(float(np.mean(st == 0) * 100.0), 2),
         "tol": prm.tol,
         "iters_p50": int(np.median(it)),
+        # inner-ADMM totals: the vmapped sweep pays max() in lockstep, so
+        # the p50/max gap is the straggler tax the qp max_iter cap bounds
+        "qp_iters_p50": int(np.median(qpi)),
+        "qp_iters_max": int(np.max(qpi)),
         "median_kkt": float(f"{np.median(kkt):.2e}"),
         "max_kkt": float(f"{np.max(kkt):.2e}"),
         "compile_s": round(t_compile, 1),

@@ -72,4 +72,5 @@ def solve_nlp_ipopt(nlp: NLP, x0, options: dict | None = None) -> NLPSolution:
         lam=-np.asarray(info["mult_g"]),
         objective=np.float64(info["obj_val"]),
         kkt_res=np.float64(0.0),
+        qp_iters=np.int32(0),
     )

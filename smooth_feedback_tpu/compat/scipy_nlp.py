@@ -53,4 +53,5 @@ def solve_nlp_scipy(nlp: NLP, x0, maxiter: int = 500, tol: float = 1e-9) -> NLPS
         lam=jnp.asarray(lam),
         objective=jnp.asarray(res.fun),
         kkt_res=jnp.asarray(res.optimality),
+        qp_iters=jnp.asarray(0, jnp.int32),
     )

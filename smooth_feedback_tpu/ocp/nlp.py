@@ -54,3 +54,8 @@ class NLPSolution(NamedTuple):
     lam: jax.Array  # (m,) constraint multipliers
     objective: jax.Array  # scalar
     kkt_res: jax.Array  # scalar: final KKT residual (observability)
+    # int32: total inner-QP ADMM iterations across the solve (native SQP
+    # only; 0 from external bridges).  Observability for lockstep tuning:
+    # vmapped sweeps pay the max of this across the fleet (docs/TUNING.md
+    # "Tiny-QP fleets" / benchmarks/ocp_se2.py budget notes).
+    qp_iters: jax.Array = 0

@@ -41,6 +41,7 @@ from .types import (
     QPSolverParams,
     QuadraticProgram,
 )
+from ..utils.linalg import chol_lane, chol_solve_lane, mv_lane
 
 _RUNNING = int(QPSolutionStatus.Running)
 _OPTIMAL = int(QPSolutionStatus.Optimal)
@@ -130,6 +131,16 @@ def _stopping_check(prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us):
     dscale = jnp.maximum(_norm_inf(Px), jnp.maximum(_norm_inf(q), _norm_inf(Aty)))
     dual_ok = dres <= eps_abs + eps_rel * dscale
 
+    # normalized-residual balance for adaptive rho (OSQP sec. 5.2):
+    # ratio > 1 -> primal residual dominates -> raise rho, and vice versa
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    pscale = jnp.maximum(_norm_inf(Ax), _norm_inf(z_us))
+    pn = pres / jnp.maximum(pscale, tiny)
+    dn = dres / jnp.maximum(dscale, tiny)
+    ratio = jnp.where(
+        jnp.logical_and(pn > 0, dn > 0), pn / jnp.maximum(dn, tiny), 1.0
+    )
+
     optimal = jnp.logical_and(prim_ok, dual_ok)
 
     # --- primal infeasibility certificate (dy direction)
@@ -176,7 +187,7 @@ def _stopping_check(prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us):
             jnp.where(prim_inf, _PRIMAL_INF, jnp.where(dual_inf, _DUAL_INF, _RUNNING)),
         ),
     ).astype(jnp.int32)
-    return status, pres, dres
+    return status, pres, dres, ratio
 
 
 # ------------------------------------------------------------------- polish
@@ -422,7 +433,6 @@ def _ruiz_lane(Pt, qt, At, max_ruiz_iter: int = 10):
 
 def _factorize_lane(Pt, qt, At, lt, ut, prm):
     """Trailing-layout scaling + reduced-KKT factorization (cf. _factorize)."""
-    from ..utils.linalg import chol_lane, chol_solve_lane
 
     dt = Pt.dtype
     n, _, B = Pt.shape
@@ -463,7 +473,6 @@ def _factorize_lane(Pt, qt, At, lt, ut, prm):
 def _stopping_check_lane(prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us):
     """Trailing-layout port of _stopping_check (same certificates/criteria);
     all matrix stacks (k, j, B), vectors (k, B)."""
-    from ..utils.linalg import mv_lane
 
     dt = Pt.dtype
     eps_abs = jnp.asarray(prm.eps_abs, dt)
@@ -552,7 +561,6 @@ def _stopping_check_lane(prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us
 
 def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
     """Batch-trailing solve; inputs/outputs batch-leading (transposed once)."""
-    from ..utils.linalg import mv_lane
 
     dt = P.dtype
     B, m, n = A.shape
@@ -628,8 +636,6 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
     M0 = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None]
 
     def _refactor(rho_):
-        from ..utils.linalg import chol_lane, chol_solve_lane
-
         ArA = ((Ast * rho_[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(
             axis=0
         )
@@ -800,11 +806,11 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
     # Minv, e.g. from qp_factorize on one template problem): the LTI-MPC
     # fleet case, where the Pallas path can use real GEMM iterations.
     shared = factors is not None and factors.Minv.ndim == 2
-    if prm.adaptive_rho and (prm.backend != "lane" or shared):
+    if prm.adaptive_rho and (prm.backend == "pallas" or shared):
         raise ValueError(
-            "adaptive_rho requires backend='lane' with per-problem factors "
-            "(the in-loop refactorization is only implemented for the "
-            "batch-trailing stack Cholesky)"
+            "adaptive_rho requires per-problem factors on backend='lane' or "
+            "'xla' (shared-factor batches share one rho across the fleet, and "
+            "the fused Pallas kernel pins its factorization in VMEM)"
         )
     if prm.backend == "lane" and not shared:
         # batch-trailing path for fleets of tiny QPs; shared-factor batches
@@ -923,35 +929,56 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         Minv_mv = lambda r: jnp.einsum("bnm,bm->bn", Minv, r)
         Mred_mv = lambda t: jnp.einsum("bnk,bk->bn", Mred, t)
 
-    def Msolve0(r):
-        return Minv_mv(r)
-
     n_refine = max(0, prm.kkt_refine_iters)
 
-    def Msolve(r):
-        t = Msolve0(r)
+    def Msolve(Minv_mv_c, Mred_mv_c, r):
+        t = Minv_mv_c(r)
         for _ in range(n_refine):
-            resid = r - Mred_mv(t)
-            t = t + Msolve0(resid)
+            resid = r - Mred_mv_c(t)
+            t = t + Minv_mv_c(resid)
         return t
 
     alpha = jnp.asarray(prm.alpha, dt)
+    adaptive = prm.adaptive_rho  # shared/pallas rejected above -> per-problem
+
+    if adaptive:
+        # rows whose rho is pinned (unbounded, qp_solver.hpp:361-374) never
+        # adapt; the loop-invariant part of the reduced KKT matrix is hoisted
+        rho_pinned = jnp.logical_and(l == -inf, u == inf)
+        M0 = Ps + prm.sigma * jnp.eye(n, dtype=dt)[None]
+        eyeN_b = jnp.broadcast_to(jnp.eye(n, dtype=dt), (B, n, n))
+
+        def _refactor(rho_):
+            Mred_n = M0 + jnp.einsum("bmn,bm,bmk->bnk", As, rho_, As)
+            L = jnp.linalg.cholesky(Mred_n)
+            bad = jnp.logical_not(jnp.isfinite(L).all(axis=(1, 2)))
+            L = jnp.where(bad[:, None, None], jnp.eye(n, dtype=dt)[None], L)
+            Linv = jax.scipy.linalg.solve_triangular(L, eyeN_b, lower=True)
+            return Mred_n, jnp.einsum("bkn,bkm->bnm", Linv, Linv), bad
 
     def cond(state):
-        it, x, z, y, status, iters, pres, dres = state
+        it = state[0]
+        status = state[4]
         return jnp.logical_and(it < prm.max_iter, (status == _RUNNING).any())
 
     def body(state):
-        it, x, z, y, status, iters, pres, dres = state
+        if adaptive:
+            it, x, z, y, status, iters, pres, dres, rho_c, Mred_c, Minv_c = state
+            Minv_mv_c = lambda r: jnp.einsum("bnm,bm->bn", Minv_c, r)
+            Mred_mv_c = lambda t: jnp.einsum("bnk,bk->bn", Mred_c, t)
+        else:
+            it, x, z, y, status, iters, pres, dres = state
+            rho_c = rho
+            Minv_mv_c, Mred_mv_c = Minv_mv, Mred_mv
         x_old, y_old = x, y
 
-        rhs = prm.sigma * x - qs + AT_mv(rho * z - y)
-        xt = Msolve(rhs)
+        rhs = prm.sigma * x - qs + AT_mv(rho_c * z - y)
+        xt = Msolve(Minv_mv_c, Mred_mv_c, rhs)
         zt = A_mv(xt)
 
         xn = alpha * xt + (1 - alpha) * x
-        zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho, ls, us)
-        yn = y + rho * (alpha * zt + (1 - alpha) * z - zn)
+        zn = jnp.clip(alpha * zt + (1 - alpha) * z + y / rho_c, ls, us)
+        yn = y + rho_c * (alpha * zt + (1 - alpha) * z - zn)
 
         def do_check(_):
             x_us = sx * xn
@@ -959,7 +986,7 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
             z_us = zn / sy
             dx_us = sx * (xn - x_old)
             dy_us = sy * (yn - y_old) / c[:, None]
-            st, pr, dr = _stopping_check(
+            st, pr, dr, ratio = _stopping_check(
                 prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us
             )
             if prm.verbose:
@@ -974,15 +1001,20 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
                     dm=jnp.median(dr),
                     dx=jnp.max(dr),
                 )
-            return st, pr, dr
+            return st, pr, dr, ratio
 
         def skip(_):
-            return jnp.full((B,), _RUNNING, jnp.int32), pres, dres
+            return (
+                jnp.full((B,), _RUNNING, jnp.int32),
+                pres,
+                dres,
+                jnp.ones((B,), dt),
+            )
 
         # == (1 % stop_check_iter) so stop_check_iter == 1 means "every
         # iteration" instead of silently never checking (it % 1 is always 0)
         check_now = (it % prm.stop_check_iter) == (1 % prm.stop_check_iter)
-        new_status, pres_n, dres_n = lax.cond(check_now, do_check, skip, None)
+        new_status, pres_n, dres_n, ratio = lax.cond(check_now, do_check, skip, None)
 
         run = status == _RUNNING
         runc = run[:, None]
@@ -993,6 +1025,40 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         iters = jnp.where(run, it + 1, iters)
         pres = jnp.where(run, pres_n, pres)
         dres = jnp.where(run, dres_n, dres)
+
+        if adaptive:
+            # residual-balancing update (OSQP sec. 5.2, absent from the
+            # reference's static-rho embedded solver): rho <- rho
+            # sqrt(pres_n/dres_n) per element, refactorizing the reduced KKT
+            # in-loop.  Only elements whose imbalance exceeds the tolerance
+            # band adapt, and only while still running (cf. the lane backend).
+            mult = jnp.sqrt(ratio)
+            tol = jnp.asarray(prm.adaptive_rho_tol, dt)
+            adapt_e = jnp.logical_and(
+                new_status == _RUNNING,
+                jnp.logical_and(
+                    run, jnp.logical_or(mult > tol, mult < 1.0 / tol)
+                ),
+            )
+            mult = jnp.where(adapt_e, mult, 1.0)
+            rho_new = jnp.clip(rho_c * mult[:, None], 1e-6, 1e6)
+            rho_new = jnp.where(rho_pinned, jnp.asarray(1e-6, dt), rho_new)
+
+            def refac(_):
+                Mred_n, Minv_n, bad = _refactor(rho_new)
+                # a failed refactorization keeps the previous rho/factors
+                keep = bad[:, None]
+                rho_k = jnp.where(keep, rho_c, rho_new)
+                Mred_k = jnp.where(keep[..., None], Mred_c, Mred_n)
+                Minv_k = jnp.where(keep[..., None], Minv_c, Minv_n)
+                return rho_k, Mred_k, Minv_k
+
+            def keep_f(_):
+                return rho_c, Mred_c, Minv_c
+
+            rho_c, Mred_c, Minv_c = lax.cond(adapt_e.any(), refac, keep_f, None)
+            return it + 1, x, z, y, status, iters, pres, dres, rho_c, Mred_c, Minv_c
+
         return it + 1, x, z, y, status, iters, pres, dres
 
     init = (
@@ -1005,7 +1071,10 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
         jnp.full((B,), inf),
         jnp.full((B,), inf),
     )
-    _, x, z, y, status, iters, pres, dres = lax.while_loop(cond, body, init)
+    if adaptive:
+        init = init + (rho, Mred, Minv)
+    out = lax.while_loop(cond, body, init)
+    _, x, z, y, status, iters, pres, dres = out[:8]
 
     status = jnp.where(status == _RUNNING, _MAX_ITER, status)
     return _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres)

@@ -115,10 +115,11 @@ class QPSolverParams:
     # the reference's embedded solver has static rho only): per element,
     # rho <- rho * sqrt(pres_norm / dres_norm) when the normalized residuals
     # are imbalanced beyond adaptive_rho_tol, refactorizing the reduced KKT
-    # in-loop.  Supported on the "lane" backend (per-problem factors), where
-    # the stack refactorization is cheap; turns persistent ADMM stragglers
-    # (e.g. barrier-active ASIF members) from hundreds of iterations into
-    # tens.
+    # in-loop.  Supported on the "lane" and "xla" backends with per-problem
+    # factors (shared-factor fleets share one rho; the fused Pallas kernel
+    # pins its factorization in VMEM); turns persistent ADMM stragglers
+    # (e.g. barrier-active ASIF members, badly-conditioned SQP subproblems)
+    # from hundreds of iterations into tens.
     adaptive_rho: bool = False
     adaptive_rho_tol: float = 5.0
     # Print batch residual summaries at every stopping check (the analog of

@@ -105,6 +105,7 @@ def _solve_nlp_sqp_impl(
         tau: jax.Array  # last Hessian convexification shift (exact mode)
         kkt: jax.Array
         done: jax.Array
+        qp_iters: jax.Array  # accumulated inner-ADMM iterations
         qp_ws: QPSolution
         # cached evaluations at x (one derivative evaluation per iteration)
         fval: jax.Array
@@ -317,6 +318,7 @@ def _solve_nlp_sqp_impl(
             tau=tau,
             kkt=kkt,
             done=done,
+            qp_iters=st.qp_iters + sol.iters,
             qp_ws=sol,
             fval=f_new,
             gval=g_new,
@@ -348,6 +350,7 @@ def _solve_nlp_sqp_impl(
         tau=jnp.asarray(params.reg_init, dt),
         kkt=inf,
         done=jnp.asarray(False),
+        qp_iters=jnp.asarray(0, jnp.int32),
         qp_ws=ws0,
         fval=nlp.f(x0),
         gval=nlp.g(x0),
@@ -369,4 +372,5 @@ def _solve_nlp_sqp_impl(
         lam=st.lam,
         objective=nlp.f(st.x),
         kkt_res=st.kkt,
+        qp_iters=st.qp_iters,
     )

@@ -841,12 +841,92 @@ def test_lane_adaptive_rho():
     assert int(sol.status[0]) == QPSolutionStatus.PrimalInfeasible
 
 
-def test_adaptive_rho_rejected_off_lane():
+def test_adaptive_rho_xla():
+    """adaptive_rho on the XLA backend: same minimizers, fewer straggler
+    iterations on residual-imbalanced problems, and the same adaptation
+    schedule as the lane backend (parity)."""
     import dataclasses
+
+    B, n, m = 16, 3, 24
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+
+    def make(k):
+        qp1 = random_qp(k, n=n, m=m)
+        return QuadraticProgram(
+            P=1000.0 * qp1.P, q=1000.0 * qp1.q, A=qp1.A, l=qp1.l, u=qp1.u
+        )
+
+    qps = jax.vmap(make)(keys)
+    prm = QPSolverParams(
+        max_iter=50000, polish=False, scaling=False, eps_abs=1e-7, eps_rel=1e-7
+    )
+    prm_ad = dataclasses.replace(prm, adaptive_rho=True)
+    prm_ad_lane = dataclasses.replace(prm_ad, backend="lane")
+
+    s0 = solve_qp_batch(qps, prm)
+    s1 = solve_qp_batch(qps, prm_ad)
+    assert np.all(np.asarray(s1.status) == QPSolutionStatus.Optimal)
+    ok0 = np.asarray(s0.status) == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(
+        np.asarray(s1.primal)[ok0], np.asarray(s0.primal)[ok0], atol=1e-4
+    )
+    assert int(np.asarray(s1.iters).max()) < int(np.asarray(s0.iters).max())
+
+    # lane backend runs the identical adaptation schedule (layout-only diff)
+    sl = solve_qp_batch(qps, prm_ad_lane)
+    np.testing.assert_array_equal(np.asarray(s1.status), np.asarray(sl.status))
+    np.testing.assert_array_equal(np.asarray(s1.iters), np.asarray(sl.iters))
+    np.testing.assert_allclose(
+        np.asarray(s1.primal), np.asarray(sl.primal), atol=1e-5
+    )
+
+    # certificates still fire with adaptation enabled
+    P = jnp.eye(1)[None]
+    q = jnp.zeros((1, 1))
+    A = jnp.array([[[1.0], [1.0]]])
+    l = jnp.array([[-jnp.inf, 1.0]])
+    u = jnp.array([[-1.0, jnp.inf]])
+    sol = solve_qp_batch(QuadraticProgram(P=P, q=q, A=A, l=l, u=u), prm_ad)
+    assert int(sol.status[0]) == QPSolutionStatus.PrimalInfeasible
+
+
+def test_adaptive_rho_vmap_sqp_shape():
+    """adaptive_rho composes with vmap over unbatched solves (the vmapped-SQP
+    inner-QP configuration): lax.cond lowers to both-branch select."""
+    import dataclasses
+
+    B, n, m = 6, 4, 8
+    keys = jax.random.split(jax.random.PRNGKey(13), B)
+    qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
+    prm_ad = dataclasses.replace(
+        QPSolverParams(max_iter=20000, polish=False), adaptive_rho=True
+    )
+
+    from smooth_feedback_tpu.qp import solve_qp
+
+    sv = jax.vmap(lambda qp1: solve_qp(qp1, prm_ad))(qps)
+    sb = solve_qp_batch(qps, prm_ad)
+    assert np.all(np.asarray(sv.status) == QPSolutionStatus.Optimal)
+    np.testing.assert_allclose(
+        np.asarray(sv.primal), np.asarray(sb.primal), atol=1e-5
+    )
+
+
+def test_adaptive_rho_rejected_pallas_and_shared():
+    import dataclasses
+
+    from smooth_feedback_tpu.qp import qp_factorize
 
     B, n, m = 2, 3, 5
     keys = jax.random.split(jax.random.PRNGKey(12), B)
     qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
-    prm = dataclasses.replace(QPSolverParams(), adaptive_rho=True)  # xla
+    prm_p = dataclasses.replace(QPSolverParams(), adaptive_rho=True, backend="pallas")
     with pytest.raises(ValueError, match="adaptive_rho"):
-        solve_qp_batch(qps, prm)
+        solve_qp_batch(qps, prm_p)
+
+    # shared factors (no leading batch axis) share one rho: rejected
+    prm_x = dataclasses.replace(QPSolverParams(), adaptive_rho=True)
+    qp1 = jax.tree.map(lambda a: a[:1], qps)
+    fac = jax.tree.map(lambda a: a[0], qp_factorize(qp1, prm_x))
+    with pytest.raises(ValueError, match="adaptive_rho"):
+        solve_qp_batch(qps, prm_x, None, fac)

@@ -30,6 +30,9 @@ def test_equality_constrained_qp():
     assert int(sol.status) == NLPSolutionStatus.Optimal
     np.testing.assert_allclose(sol.x, [0.5, 0.5], atol=1e-7)
     np.testing.assert_allclose(sol.lam, [-1.0], atol=1e-6)
+    # inner-QP iteration accounting (lockstep-budget observability)
+    assert int(sol.qp_iters) > 0
+    assert int(sol.qp_iters) >= int(sol.iters)
 
 
 def test_rosenbrock_box():

@@ -115,3 +115,22 @@ def test_spline_c2_acceleration_continuity():
     _, _, aK = spline_eval(SE2, sp, jnp.asarray(ts[-1] - 1e-5))
     np.testing.assert_allclose(a0, np.zeros(3), atol=1e-3)
     np.testing.assert_allclose(aK, np.zeros(3), atol=1e-3)
+
+
+def test_import_order_solvers_first():
+    """Importing solvers BEFORE ocp must not hit the solvers.sqp <-> ocp.solve
+    import cycle (regression: solvers/__init__ pre-initializes ocp)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import smooth_feedback_tpu.solvers;"
+        "import smooth_feedback_tpu.ocp;"
+        "print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
