@@ -8,6 +8,6 @@
 # (ocp.nlp is already in sys.modules at that point — ocp/__init__ imports
 # .nlp before .solve).
 from .. import ocp as _ocp  # noqa: F401
-from .sqp import SQPParams, solve_nlp_sqp
+from .sqp import SQPParams, solve_nlp_sqp, solve_nlp_sqp_batch
 
-__all__ = ["SQPParams", "solve_nlp_sqp"]
+__all__ = ["SQPParams", "solve_nlp_sqp", "solve_nlp_sqp_batch"]

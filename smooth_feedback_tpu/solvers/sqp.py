@@ -374,3 +374,349 @@ def _solve_nlp_sqp_impl(
         kkt_res=st.kkt,
         qp_iters=st.qp_iters,
     )
+
+
+# --------------------------------------------------- natively batched solver
+#
+# ``jax.vmap(solve_nlp_sqp)`` works, but it is the WRONG program for a TPU
+# fleet: vmap lowers every ``lax.cond`` in the solver (and in the inner QP's
+# iteration loop) to a both-branches ``select`` and removes all early exits,
+# so each fleet member pays every other member's iteration budget AND the
+# periodic-branch costs become per-iteration costs (measured: adaptive-rho
+# refactorization under vmap runs every ADMM iteration instead of every
+# stopping check, 4x slower despite 8x fewer iterations).  Deeply nested
+# vmapped while_loops are also a measured TPU fault mode.
+#
+# ``solve_nlp_sqp_batch`` instead batches natively, the same way the QP
+# solver does (one scalar while_loop driving (B, ...) state with
+# mask-and-continue), and solves the SQP subproblems with a single direct
+# ``solve_qp_batch`` call — whose own scalar loop keeps real branches, real
+# early exit, and cheap adaptive rho.
+
+
+def solve_nlp_sqp_batch(
+    make_nlp,
+    thetas,
+    x0: jax.Array,
+    params: SQPParams = SQPParams(),
+    lam0: Optional[jax.Array] = None,
+) -> NLPSolution:
+    """Solve a fleet of structurally identical NLPs in one batched SQP.
+
+    ``make_nlp(theta) -> NLP`` must be jax-traceable in ``theta`` (a pytree
+    whose leaves carry a leading batch axis B — problem data such as tracked
+    velocities or boundary conditions); every member shares (n, m).  ``x0``
+    is (B, n).  Returns an :class:`NLPSolution` with a leading batch axis.
+
+    Prefer this over ``jax.vmap(solve_nlp_sqp)`` for fleets (see module
+    comment); parity-tested against the vmapped form.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0)
+
+
+def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
+    th0 = jax.tree.map(lambda a: a[0], thetas)
+    nlp0 = make_nlp(th0)
+    n, m = nlp0.n, nlp0.m
+    B = x0.shape[0]
+    dt = x0.dtype
+    inf = jnp.asarray(jnp.inf, dt)
+
+    # batched evaluation of the per-member callables (each vmap re-traces
+    # make_nlp; trace-time cost only)
+    fB = jax.vmap(lambda th, x: make_nlp(th).f(x))
+    gB = jax.vmap(lambda th, x: make_nlp(th).g(x))
+    gradB = jax.vmap(lambda th, x: jax.grad(lambda xx: make_nlp(th).f(xx))(x))
+    JB = jax.vmap(lambda th, x: jax.jacrev(lambda xx: make_nlp(th).g(xx))(x))
+    hessB = jax.vmap(
+        lambda th, x, lam: jax.hessian(
+            lambda xx: make_nlp(th).f(xx) + lam @ make_nlp(th).g(xx)
+        )(x)
+    )
+    xl, xu, gl, gu = jax.vmap(
+        lambda th: (make_nlp(th).xl, make_nlp(th).xu, make_nlp(th).gl, make_nlp(th).gu)
+    )(thetas)  # (B, n) x2, (B, m) x2
+
+    eyeN = jnp.eye(n, dtype=dt)
+    eyeN_b = jnp.broadcast_to(eyeN, (B, n, n))
+    alphas = 0.5 ** jnp.arange(params.ls_steps, dtype=dt)
+
+    def _violation_b(x, gval):
+        vg = jnp.sum(
+            jnp.maximum(0.0, gl - gval) + jnp.maximum(0.0, gval - gu), axis=1
+        )
+        vx = jnp.sum(jnp.maximum(0.0, xl - x) + jnp.maximum(0.0, x - xu), axis=1)
+        return vg + vx
+
+    def kkt_residual_b(x, lam, z, gval, grad, J):
+        stat = jnp.max(
+            jnp.abs(grad + jnp.einsum("bmn,bm->bn", J, lam) + z), axis=1
+        )
+        vg = jnp.max(
+            jnp.maximum(
+                jnp.maximum(0.0, gl - gval), jnp.maximum(0.0, gval - gu)
+            ),
+            axis=1,
+            initial=0.0,
+        )
+        vx = jnp.max(
+            jnp.maximum(jnp.maximum(0.0, xl - x), jnp.maximum(0.0, x - xu)),
+            axis=1,
+            initial=0.0,
+        )
+        return jnp.maximum(stat, jnp.maximum(vg, vx))
+
+    class _BState(NamedTuple):
+        it: jax.Array  # scalar loop counter
+        x: jax.Array  # (B, n)
+        lam: jax.Array  # (B, m)
+        z: jax.Array  # (B, n)
+        reg: jax.Array  # (B,)
+        tau: jax.Array  # (B,)
+        kkt: jax.Array  # (B,)
+        done: jax.Array  # (B,) bool
+        iters: jax.Array  # (B,) int32: SQP iterations until convergence
+        qp_iters: jax.Array  # (B,) int32: accumulated inner-ADMM iterations
+        qp_ws: QPSolution  # batched warmstart
+        fval: jax.Array  # (B,)
+        gval: jax.Array  # (B, m)
+        grad: jax.Array  # (B, n)
+        J: jax.Array  # (B, m, n)
+        Hb: jax.Array  # (B, n, n) BFGS approximation (identity in exact mode)
+
+    def _chol_ok_b(H, tau):
+        L = jnp.linalg.cholesky(H + tau[:, None, None] * eyeN)
+        return jnp.isfinite(L).all(axis=(1, 2))
+
+    def body(st: _BState) -> _BState:
+        run = jnp.logical_not(st.done)
+        x, lam = st.x, st.lam
+        fval, gval, grad, J = st.fval, st.gval, st.grad, st.J
+
+        if params.hessian == "exact":
+            H = hessB(thetas, x, lam)
+            H = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+            # per-element shifted-Cholesky convexification (cf. the single-
+            # problem form above): escalate tau x10 until chol succeeds, then
+            # geometric bisection.  The escalation while_loop is scalar-
+            # driven (runs while ANY element still fails) with per-element
+            # masking, so the fleet pays max-escalations batched Choleskys.
+            floor = jnp.maximum(jnp.asarray(params.reg_min, dt), st.reg)
+            tau0 = jnp.maximum(st.tau / 10.0, floor)
+
+            def _esc_cond(c):
+                tau, ok = c
+                return jnp.logical_and(
+                    jnp.logical_not(ok), tau < params.reg_max
+                ).any()
+
+            def _esc_body(c):
+                tau, ok = c
+                tau_n = jnp.where(ok, tau, 10.0 * tau)
+                ok_n = jnp.where(ok, ok, _chol_ok_b(H, tau_n))
+                return tau_n, ok_n
+
+            tau_hi, _ = lax.while_loop(
+                _esc_cond, _esc_body, (tau0, _chol_ok_b(H, tau0))
+            )
+
+            def _bis_body(_, c):
+                lo, hi = c
+                mid = jnp.sqrt(lo * hi)
+                ok = _chol_ok_b(H, mid)
+                return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
+
+            _, tau = lax.fori_loop(
+                0, params.reg_bisect, _bis_body, (tau_hi / 10.0, tau_hi)
+            )
+            tau = jnp.maximum(tau, floor)
+            H = H + tau[:, None, None] * eyeN
+        else:
+            tau = st.tau
+            H = st.Hb + st.reg[:, None, None] * eyeN
+
+        # one direct batched QP subproblem solve: scalar inner loop, real
+        # periodic-check branches, per-element early freeze + global early
+        # exit — none of which survive under vmap(solve_nlp_sqp)
+        A = jnp.concatenate([J, eyeN_b], axis=1)
+        lqp = jnp.concatenate([gl - gval, xl - x], axis=1)
+        uqp = jnp.concatenate([gu - gval, xu - x], axis=1)
+        qp_b = QuadraticProgram(P=H, q=grad, A=A, l=lqp, u=uqp)
+        sol = solve_qp_batch(qp_b, params.qp, st.qp_ws)
+        d = sol.primal
+        lam_qp = jnp.where(jnp.isfinite(sol.dual[:, :m]), sol.dual[:, :m], 0.0)
+        z_qp = jnp.where(jnp.isfinite(sol.dual[:, m:]), sol.dual[:, m:], 0.0)
+        qp_ok = jnp.logical_and(
+            jnp.logical_or(
+                sol.status == QPSolutionStatus.Optimal,
+                jnp.logical_or(
+                    sol.status == QPSolutionStatus.PolishFailed,
+                    sol.status == QPSolutionStatus.MaxIterations,
+                ),
+            ),
+            jnp.isfinite(d).all(axis=1),
+        )
+        d = jnp.where(qp_ok[:, None], d, 0.0)
+
+        # l1 merit line search on the shared alpha grid, per element
+        mu = 2.0 * jnp.max(jnp.abs(lam_qp), axis=1, initial=1.0) + 1.0
+        viol0 = _violation_b(x, gval)
+        phi0 = fval + mu * viol0
+        dd = jnp.einsum("bn,bn->b", grad, d) - mu * viol0
+
+        def merit(alpha):
+            xa = x + alpha * d
+            return fB(thetas, xa) + mu * _violation_b(xa, gB(thetas, xa))
+
+        phis = jax.vmap(merit)(alphas)  # (L, B)
+        phis = jnp.where(jnp.isfinite(phis), phis, inf)
+        eps_m = 10.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(phi0))
+        armijo_ok = phis <= phi0 + params.armijo * alphas[:, None] * dd + eps_m
+        any_ok = jnp.any(armijo_ok, axis=0)
+        first_ok = jnp.argmax(armijo_ok, axis=0)
+        best = jnp.argmin(phis, axis=0)
+        pick = jnp.where(any_ok, first_ok, best)
+        phi_best = jnp.take_along_axis(phis, best[None, :], axis=0)[0]
+        alpha = jnp.where(
+            jnp.logical_and(qp_ok, jnp.logical_or(any_ok, phi_best < phi0)),
+            alphas[pick],
+            jnp.zeros((B,), dt),
+        )
+
+        x_new = x + alpha[:, None] * d
+        lam_new = (1 - alpha[:, None]) * lam + alpha[:, None] * lam_qp
+        z_new = (1 - alpha[:, None]) * st.z + alpha[:, None] * z_qp
+
+        reg = jnp.where(
+            alpha >= 0.5,
+            jnp.maximum(st.reg / 10.0, params.reg_min),
+            jnp.where(
+                alpha <= 1e-3,
+                jnp.minimum(st.reg * 10.0 + 1e-6, params.reg_max),
+                st.reg,
+            ),
+        )
+
+        f_new = fB(thetas, x_new)
+        g_new = gB(thetas, x_new)
+        grad_new = gradB(thetas, x_new)
+        J_new = JB(thetas, x_new)
+        kkt = kkt_residual_b(x_new, lam_new, z_new, g_new, grad_new, J_new)
+        done_new = kkt <= params.tol
+
+        if params.hessian == "bfgs":
+            s_v = x_new - x
+            y_v = (
+                grad_new + jnp.einsum("bmn,bm->bn", J_new, lam_new)
+            ) - (grad + jnp.einsum("bmn,bm->bn", J, lam_new))
+            Hb = st.Hb
+            Hs = jnp.einsum("bij,bj->bi", Hb, s_v)
+            sHs = jnp.einsum("bn,bn->b", s_v, Hs)
+            sy = jnp.einsum("bn,bn->b", s_v, y_v)
+            ok_upd = jnp.logical_and(alpha > 0, sHs > 1e-12)
+            theta = jnp.where(
+                sy >= 0.2 * sHs,
+                1.0,
+                0.8 * sHs / jnp.maximum(sHs - sy, 1e-12),
+            )
+            y_t = theta[:, None] * y_v + (1 - theta)[:, None] * Hs
+            sty = jnp.maximum(jnp.einsum("bn,bn->b", s_v, y_t), 1e-12)
+            Hb_new = (
+                Hb
+                - Hs[:, :, None] * Hs[:, None, :] / jnp.maximum(sHs, 1e-12)[:, None, None]
+                + y_t[:, :, None] * y_t[:, None, :] / sty[:, None, None]
+            )
+            Hb_new = 0.5 * (Hb_new + jnp.swapaxes(Hb_new, 1, 2))
+            Hb = jnp.where(ok_upd[:, None, None], Hb_new, Hb)
+        else:
+            Hb = st.Hb
+
+        if params.verbose:
+            jax.debug.print(
+                "[sqp/batch] it {i}: running {r}/{b} kkt med {km:.3e} "
+                "max {kx:.3e} qp_iters max {q}",
+                i=st.it, r=jnp.sum(run), b=B,
+                km=jnp.median(kkt), kx=jnp.max(kkt),
+                q=jnp.max(sol.iters),
+            )
+
+        # freeze converged elements (mask-and-continue, cf. the QP solver)
+        runc = run[:, None]
+        runm = run[:, None, None]
+        sel = lambda mask, a, b: jnp.where(mask, a, b)
+        return _BState(
+            it=st.it + 1,
+            x=sel(runc, x_new, st.x),
+            lam=sel(runc, lam_new, st.lam),
+            z=sel(runc, z_new, st.z),
+            reg=sel(run, reg, st.reg),
+            tau=sel(run, tau, st.tau),
+            kkt=sel(run, kkt, st.kkt),
+            done=jnp.logical_or(st.done, done_new),
+            iters=sel(run, st.it + 1, st.iters),
+            qp_iters=st.qp_iters + jnp.where(run, sol.iters, 0),
+            qp_ws=jax.tree.map(
+                lambda a, b: jnp.where(
+                    run.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                sol,
+                st.qp_ws,
+            ),
+            fval=sel(run, f_new, st.fval),
+            gval=sel(runc, g_new, st.gval),
+            grad=sel(runc, grad_new, st.grad),
+            J=sel(runm, J_new, st.J),
+            Hb=sel(runm, Hb, st.Hb),
+        )
+
+    def cond(st: _BState):
+        return jnp.logical_and(
+            st.it < params.max_iter, jnp.logical_not(st.done).any()
+        )
+
+    lam_init = jnp.zeros((B, m), dt) if lam0 is None else jnp.asarray(lam0, dt)
+    ws0 = QPSolution(
+        primal=jnp.zeros((B, n), dt),
+        dual=jnp.zeros((B, m + n), dt),
+        status=jnp.full((B,), int(QPSolutionStatus.Unknown), jnp.int32),
+        iters=jnp.zeros((B,), jnp.int32),
+        objective=jnp.zeros((B,), dt),
+        primal_res=jnp.full((B,), inf),
+        dual_res=jnp.full((B,), inf),
+    )
+    x0 = jnp.asarray(x0, dt)
+    st0 = _BState(
+        it=jnp.int32(0),
+        x=x0,
+        lam=lam_init,
+        z=jnp.zeros((B, n), dt),
+        reg=jnp.full((B,), params.reg_init, dt),
+        tau=jnp.full((B,), params.reg_init, dt),
+        kkt=jnp.full((B,), inf),
+        done=jnp.zeros((B,), bool),
+        iters=jnp.zeros((B,), jnp.int32),
+        qp_iters=jnp.zeros((B,), jnp.int32),
+        qp_ws=ws0,
+        fval=fB(thetas, x0),
+        gval=gB(thetas, x0),
+        grad=gradB(thetas, x0),
+        J=JB(thetas, x0),
+        Hb=eyeN_b,
+    )
+    st = lax.while_loop(cond, body, st0)
+
+    status = jnp.where(
+        st.done, int(NLPSolutionStatus.Optimal), int(NLPSolutionStatus.IterationLimit)
+    ).astype(jnp.int32)
+    return NLPSolution(
+        status=status,
+        iters=st.iters,
+        x=st.x,
+        zl=jnp.maximum(-st.z, 0.0),
+        zu=jnp.maximum(st.z, 0.0),
+        lam=st.lam,
+        objective=fB(thetas, st.x),
+        kkt_res=st.kkt,
+        qp_iters=st.qp_iters,
+    )

@@ -197,3 +197,98 @@ def test_f32_di_collocation_converges():
     assert int(sol.status) == int(NLPSolutionStatus.Optimal)
     # objective matches the f64 optimum of this problem (1.732945) closely
     np.testing.assert_allclose(float(sol.objective), 1.732945, rtol=2e-3)
+
+
+# ------------------------------------------------------- natively batched SQP
+
+
+def _family(b):
+    """Small NLP family parametrized by a scalar (shared structure)."""
+    return NLP(
+        n=2,
+        m=1,
+        f=lambda x: (x[0] - b) ** 2 + x[1] ** 2 + 0.1 * jnp.sin(x[1]),
+        g=lambda x: jnp.array([x[0] + x[1]]),
+        xl=jnp.full(2, -inf),
+        xu=jnp.full(2, inf),
+        gl=jnp.array([-inf]),
+        gu=jnp.array([1.0]),
+    )
+
+
+def test_batch_sqp_matches_vmap():
+    """solve_nlp_sqp_batch reproduces vmap(solve_nlp_sqp): same statuses,
+    same solutions (the batched form exists because vmap erases branches and
+    early exits, not to change the algorithm)."""
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    bs = jnp.array([0.0, 1.0, 3.0, -2.0])
+    B = bs.shape[0]
+    prm = SQPParams(max_iter=40)
+
+    sv = jax.jit(
+        jax.vmap(lambda b: solve_nlp_sqp(_family(b), jnp.zeros(2), prm))
+    )(bs)
+    sb = jax.jit(
+        lambda th: solve_nlp_sqp_batch(_family, th, jnp.zeros((B, 2)), prm)
+    )(bs)
+
+    np.testing.assert_array_equal(np.asarray(sb.status), np.asarray(sv.status))
+    assert np.all(np.asarray(sb.status) == NLPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(sb.x), np.asarray(sv.x), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sb.lam), np.asarray(sv.lam), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sb.objective), np.asarray(sv.objective), atol=1e-9
+    )
+    # per-element iteration counts survive the batch masking
+    assert np.all(np.asarray(sb.iters) >= 1)
+    assert np.all(np.asarray(sb.qp_iters) >= np.asarray(sb.iters))
+
+
+def test_batch_sqp_known_optima():
+    """Batched solves land on the hand-checked optima of the vmap test."""
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    def make(b):
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (x[0] - b) ** 2 + x[1] ** 2,
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.full(2, -inf),
+            xu=jnp.full(2, inf),
+            gl=jnp.array([-inf]),
+            gu=jnp.array([1.0]),
+        )
+
+    bs = jnp.array([0.0, 1.0, 3.0])
+    sols = solve_nlp_sqp_batch(make, bs, jnp.zeros((3, 2)), SQPParams(max_iter=30))
+    np.testing.assert_allclose(sols.x[0], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(sols.x[1], [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(sols.x[2], [2.0, -1.0], atol=1e-6)  # constrained
+
+
+def test_batch_sqp_adaptive_rho_and_bfgs():
+    """The batched SQP composes with adaptive-rho inner QPs (the point of
+    direct batching: the QP's periodic refactorization stays a real branch)
+    and with the BFGS Hessian mode."""
+    import dataclasses
+
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    bs = jnp.array([0.5, -1.5, 2.5])
+    prm = SQPParams(
+        max_iter=60,
+        qp=dataclasses.replace(
+            SQPParams().qp, adaptive_rho=True, eps_abs=1e-9, eps_rel=1e-9
+        ),
+    )
+    sols = solve_nlp_sqp_batch(_family, bs, jnp.zeros((3, 2)), prm)
+    assert np.all(np.asarray(sols.status) == NLPSolutionStatus.Optimal)
+
+    prm_bfgs = SQPParams(max_iter=120, hessian="bfgs")
+    sols_b = solve_nlp_sqp_batch(_family, bs, jnp.zeros((3, 2)), prm_bfgs)
+    assert np.all(np.asarray(sols_b.status) == NLPSolutionStatus.Optimal)
+    np.testing.assert_allclose(
+        np.asarray(sols_b.x), np.asarray(sols.x), atol=1e-5
+    )
