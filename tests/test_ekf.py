@@ -13,7 +13,7 @@ import pytest
 from scipy.linalg import expm
 
 from smooth_feedback_tpu.estimators import EKFState, ekf_predict, ekf_reset, ekf_update
-from smooth_feedback_tpu.groups import SE2, SO3, Rn
+from smooth_feedback_tpu.groups import SE2, SO2, SO3, Rn
 
 
 def test_update_linear():
@@ -546,3 +546,80 @@ def test_fleet_per_member_noise_B_equals_ndof():
     np.testing.assert_allclose(
         np.asarray(jnp.moveaxis(sq.St, -1, 0)), np.asarray(S_ref), atol=1e-12
     )
+
+
+@pytest.mark.parametrize("G", [SO3, SE2], ids=["SO3", "SE2"])
+def test_fleet_update_iterated_matches_vmap(G):
+    """ekf_fleet_update_iterated == jax.vmap(ekf_update_iterated), and
+    iters=1 reproduces the plain fleet update exactly."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_reset,
+        ekf_fleet_states,
+        ekf_fleet_update,
+        ekf_fleet_update_iterated,
+        ekf_update_iterated,
+    )
+
+    B = 24
+    g0, P0 = _fleet_setup(G, B, key=21)
+    meas = lambda g: jnp.tanh(G.log(g)) + 0.3 * G.log(g) ** 2
+    R = 0.05 * jnp.eye(G.ndof) + 0.01 * jnp.ones((G.ndof, G.ndof))
+    y = jax.vmap(meas)(g0) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(22), (B, G.ndof)
+    )
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    got = ekf_fleet_states(
+        G,
+        jax.jit(lambda s: ekf_fleet_update_iterated(G, meas, s, y, R, iters=3))(
+            fleet
+        ),
+    )
+    ref = jax.jit(
+        jax.vmap(
+            lambda gi, Pi, yi: ekf_update_iterated(
+                G, meas, EKFState(g=gi, P=Pi), yi, R, iters=3
+            )
+        )
+    )(g0, P0, y)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-12)
+
+    one = ekf_fleet_states(
+        G, ekf_fleet_update_iterated(G, meas, fleet, y, R, iters=1)
+    )
+    plain = ekf_fleet_states(G, ekf_fleet_update(G, meas, fleet, y, R))
+    np.testing.assert_allclose(np.asarray(one.g), np.asarray(plain.g), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(one.P), np.asarray(plain.P), atol=1e-14)
+
+
+def test_fleet_update_iterated_manifold():
+    """Iterated fleet update with group-valued measurements (Y != None)."""
+    from smooth_feedback_tpu.estimators import (
+        ekf_fleet_reset,
+        ekf_fleet_states,
+        ekf_fleet_update_iterated,
+        ekf_update_iterated,
+    )
+
+    G, Y = SE2, SO2
+    B = 16
+    g0, P0 = _fleet_setup(G, B, key=23)
+    meas = lambda g: SO2.exp(G.log(g)[2:3] + 0.2 * G.log(g)[0:1] ** 2)
+    R = 0.02 * jnp.eye(1)
+    y = jax.vmap(
+        lambda gi, k: Y.rplus(meas(gi), 0.1 * jax.random.normal(k, (1,)))
+    )(g0, jax.random.split(jax.random.PRNGKey(24), B))
+
+    fleet = ekf_fleet_reset(G, g0, P0)
+    got = ekf_fleet_states(
+        G,
+        ekf_fleet_update_iterated(G, meas, fleet, y, R, Y=Y, iters=4),
+    )
+    ref = jax.vmap(
+        lambda gi, Pi, yi: ekf_update_iterated(
+            G, meas, EKFState(g=gi, P=Pi), yi, R, Y=Y, iters=4
+        )
+    )(g0, P0, y)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=1e-11)
