@@ -4,7 +4,7 @@ from . import collocation
 from .flatten import flatten_ocp, unflatten_ocpsol
 from .nlp import NLP, NLPSolution, NLPSolutionStatus
 from .ocp import OCP, OCPSolution, test_ocp_derivatives
-from .solve import SolveOCPParams, solve_ocp, solve_ocp_flat
+from .solve import SolveOCPParams, solve_ocp, solve_ocp_flat, solve_ocp_flat_batch
 from .to_nlp import (
     nlp_initial_guess,
     nlp_layout,
@@ -35,5 +35,6 @@ __all__ = [
     "ocpsol_to_nlpsol",
     "SolveOCPParams",
     "solve_ocp_flat",
+    "solve_ocp_flat_batch",
     "solve_ocp",
 ]

@@ -162,6 +162,154 @@ def solve_ocp_flat(
     return ocpsol, mesh, SolveOCPInfo(meshes, iters, errors, status)
 
 
+class SolveOCPBatchInfo(NamedTuple):
+    meshes: List[Mesh]
+    nlp_iters: List[jax.Array]  # per refinement pass: (B,) SQP iterations
+    errors: List[float]  # per pass: max dynamics error across the fleet
+    statuses: jax.Array  # (B,) final NLPSolutionStatus values
+
+
+class _BatchSolveCache:
+    """Memo of the jitted fleet solve / error / transfer programs keyed on
+    (family identity, mesh signature(s), params); same rationale as
+    :class:`_SolveCache` — a sweep revisiting a mesh signature must not
+    re-trace.  Strong references to the family callable guard id reuse."""
+
+    def __init__(self, maxsize: int = 32):
+        self._entries = {}
+        self._maxsize = maxsize
+
+    def get(self, kind, make_flat, key, build):
+        full_key = (kind, id(make_flat)) + key
+        hit = self._entries.get(full_key)
+        if hit is not None and hit[0] is make_flat:
+            return hit[1]
+        fn = build()
+        if len(self._entries) >= self._maxsize:
+            self._entries.pop(next(iter(self._entries)))
+        self._entries[full_key] = (make_flat, fn)
+        return fn
+
+
+_batch_solve_cache = _BatchSolveCache()
+
+
+def solve_ocp_flat_batch(
+    make_flat: Callable,
+    thetas,
+    mesh: Optional[Mesh] = None,
+    params: SolveOCPParams = SolveOCPParams(),
+):
+    """Solve a FLEET of flat OCPs on a SHARED hp-refined mesh.
+
+    ``make_flat(theta) -> OCP`` must be jax-traceable in ``theta`` (problem
+    data with a leading batch axis on every leaf); all members share the
+    problem structure.  The fleet solves as ONE natively batched SQP
+    (:func:`solve_nlp_sqp_batch` — not vmap, see its docstring), and the
+    mesh refines on the PER-INTERVAL MAXIMUM dynamics error across the
+    fleet, so every member shares one compiled program per mesh signature
+    (the TPU-idiomatic analog of the reference's per-problem refinement
+    loop, examples/ocp_se2_nlp.cpp:47-91).
+
+    Returns ``(nlpsol, mesh, info)`` where ``nlpsol`` carries a leading
+    batch axis; reconstruct per-member trajectories with
+    ``nlpsol_to_ocpsol(make_flat(theta_i), mesh, jax.tree.map(lambda a:
+    a[i], nlpsol))``.
+    """
+    from ..solvers.sqp import solve_nlp_sqp_batch
+
+    if mesh is None:
+        mesh = Mesh()
+
+    th0 = jax.tree.map(lambda a: a[0], thetas)
+    B = jax.tree.leaves(thetas)[0].shape[0]
+    flat0 = make_flat(th0)
+    z1 = nlp_initial_guess(flat0, mesh, params.tf_guess)
+    z = jnp.broadcast_to(z1, (B,) + z1.shape)
+
+    meshes, iters, errors = [], [], []
+    statuses = jnp.full((B,), int(NLPSolutionStatus.IterationLimit), jnp.int32)
+    nlpsol = None
+
+    for it in range(params.max_refine_iter):
+        solve = _batch_solve_cache.get(
+            "solve",
+            make_flat,
+            (mesh, params.sqp),
+            lambda: jax.jit(
+                lambda th, zz: solve_nlp_sqp_batch(
+                    lambda t: ocp_to_nlp(make_flat(t), mesh), th, zz, params.sqp
+                )
+            ),
+        )
+        nlpsol = solve(thetas, z)
+        statuses = nlpsol.status
+        all_opt = bool(
+            (jnp.asarray(statuses) == int(NLPSolutionStatus.Optimal)).all()
+        )
+
+        if not all_opt and params.fail_fast:
+            meshes.append(mesh)
+            iters.append(nlpsol.iters)
+            errors.append(float("nan"))
+            if params.verbose:
+                n_bad = int((jnp.asarray(statuses) != 0).sum())
+                print(
+                    f"[solve_ocp_batch] iter {it}: {n_bad}/{B} non-Optimal; "
+                    "stopping"
+                )
+            break
+
+        mesh_hi = mesh.increase_degrees()
+
+        def _build_err(mesh=mesh, mesh_hi=mesh_hi):
+            def one(th, s):
+                flat = make_flat(th)
+                o = nlpsol_to_ocpsol(flat, mesh, s)
+                return mesh_dyn_error(mesh_hi, flat.f, 0.0, o.tf, o.x, o.u)
+
+            return jax.jit(jax.vmap(one))
+
+        err_fn = _batch_solve_cache.get("err", make_flat, (mesh, mesh_hi), _build_err)
+        errs_b = err_fn(thetas, nlpsol)  # (B, n_ivals)
+        errs = jnp.max(errs_b, axis=0)  # fleet-max per interval
+        max_err = float(jnp.max(errs))
+
+        meshes.append(mesh)
+        iters.append(nlpsol.iters)
+        errors.append(max_err)
+        if params.verbose:
+            print(
+                f"[solve_ocp_batch] iter {it}: mesh {mesh.N_ivals} ivals / "
+                f"{mesh.N_colloc} pts, max dyn err {max_err:.2e}"
+            )
+
+        if max_err <= params.target_err:
+            break
+
+        mesh_new = mesh.refine_errors(
+            [float(e) for e in errs], 0.1 * params.target_err
+        )
+        transfer = _batch_solve_cache.get(
+            "xfer",
+            make_flat,
+            (mesh, mesh_new),
+            lambda: jax.jit(
+                jax.vmap(
+                    lambda th, s: ocpsol_to_nlpsol(
+                        make_flat(th),
+                        mesh_new,
+                        nlpsol_to_ocpsol(make_flat(th), mesh, s),
+                    )
+                )
+            ),
+        )
+        z = transfer(thetas, nlpsol)
+        mesh = mesh_new
+
+    return nlpsol, mesh, SolveOCPBatchInfo(meshes, iters, errors, statuses)
+
+
 def solve_ocp(
     ocp: OCP,
     xl_fun: Callable,

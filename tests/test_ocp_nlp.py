@@ -251,3 +251,62 @@ def test_solve_ocp_one_call():
     np.testing.assert_allclose(x0[:4], np.asarray(ocp.X.identity()[:4]), atol=1e-4)
     np.testing.assert_allclose(x0[4:], [1.0, 0.0], atol=1e-4)
     assert float(sol.tf) == pytest.approx(5.0, abs=1e-6)
+
+
+def test_solve_ocp_flat_batch():
+    """Shared-mesh fleet refinement driver: a DI family (varying start
+    position) solves as one batched SQP per mesh signature, refines on the
+    fleet-max interval error, and matches the single-problem driver."""
+    from smooth_feedback_tpu.ocp import solve_ocp_flat_batch
+
+    X, U = Rn(2), Rn(1)
+
+    def make_flat(p0):
+        return OCP(
+            X=X, U=U,
+            theta=lambda tf, x0, xf, q: q[0],
+            f=lambda t, x, u: jnp.stack([x[1], u[0]]),
+            g=lambda t, x, u: jnp.array([x @ x + u @ u]),
+            cr=lambda t, x, u: jnp.stack([x[1], u[0]]),
+            crl=jnp.array([-1.5, -1.0]),
+            cru=jnp.array([1.5, 1.0]),
+            ce=lambda tf, x0, xf, q: jnp.concatenate(
+                [tf[None], x0 - jnp.stack([p0, jnp.zeros(())]), xf]
+            ),
+            cel=jnp.array([5.0, 0.0, 0.0, 0.0, 0.0]),
+            ceu=jnp.array([5.0, 0.0, 0.0, 0.0, 0.0]),
+        )
+
+    p0s = jnp.array([1.0, 0.7, 1.3])
+    params = SolveOCPParams(
+        target_err=1e-3, max_refine_iter=2, tf_guess=5.0,
+        sqp=SQPParams(max_iter=100, tol=1e-7),
+    )
+    nlpsol, mesh, info = solve_ocp_flat_batch(
+        make_flat, p0s, Mesh.uniform(3, 5), params
+    )
+    assert np.all(np.asarray(info.statuses) == NLPSolutionStatus.Optimal)
+    assert info.errors[-1] <= params.target_err
+    assert np.all(np.asarray(nlpsol.qp_iters) > 0)
+
+    # every member satisfies its own boundary conditions on the shared mesh
+    for i, p in enumerate(np.asarray(p0s)):
+        o = nlpsol_to_ocpsol(
+            make_flat(jnp.asarray(p)), mesh, jax.tree.map(lambda a: a[i], nlpsol)
+        )
+        np.testing.assert_allclose(o.x(jnp.asarray(0.0)), [p, 0.0], atol=1e-5)
+        np.testing.assert_allclose(
+            o.x(jnp.asarray(5.0)), [0.0, 0.0], atol=1e-5
+        )
+
+    # element 0 agrees with the single-problem refinement driver
+    sol0, _, info0 = solve_ocp_flat(
+        make_flat(p0s[0]), Mesh.uniform(3, 5), params
+    )
+    assert info0.status == NLPSolutionStatus.Optimal
+    o0 = nlpsol_to_ocpsol(
+        make_flat(p0s[0]), mesh, jax.tree.map(lambda a: a[0], nlpsol)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o0.q), np.asarray(sol0.q), rtol=1e-3
+    )
