@@ -37,6 +37,9 @@ class _SfQpOptions(ctypes.Structure):
         ("polish", ctypes.c_int),
         ("polish_iter", ctypes.c_int),
         ("delta", ctypes.c_double),
+        ("rho_eq_scale", ctypes.c_double),
+        ("adaptive_rho", ctypes.c_int),
+        ("adaptive_rho_tol", ctypes.c_double),
     ]
 
 
@@ -120,7 +123,15 @@ def solve_qp_native(
             opts,
             k,
             int(v)
-            if k in ("scaling", "max_iter", "stop_check_iter", "polish", "polish_iter")
+            if k
+            in (
+                "scaling",
+                "max_iter",
+                "stop_check_iter",
+                "polish",
+                "polish_iter",
+                "adaptive_rho",
+            )
             else float(v),
         )
 

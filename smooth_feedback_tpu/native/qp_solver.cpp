@@ -104,6 +104,9 @@ struct SfQpOptions {
   int polish;             // 1   (active-set polish of Optimal solutions)
   int polish_iter;        // 5   (iterative-refinement sweeps)
   double delta;           // 1e-6 (polish regularization)
+  double rho_eq_scale;    // 1e3 (equality rows use rho_eq_scale * rho)
+  int adaptive_rho;       // 0   (OSQP-style residual-balancing rho updates)
+  double adaptive_rho_tol;  // 5.0 (imbalance band before adapting)
 };
 
 struct SfQpResult {
@@ -128,6 +131,9 @@ void sf_qp_default_options(SfQpOptions* o) {
   o->polish = 1;
   o->polish_iter = 5;
   o->delta = 1e-6;
+  o->rho_eq_scale = 1e3;
+  o->adaptive_rho = 0;
+  o->adaptive_rho_tol = 5.0;
 }
 
 int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
@@ -201,21 +207,25 @@ int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
   // ------------------------------------------------- rho + trivial checks
   w.rho.assign(m, o.rho);
   int status = -1;
+  std::vector<char> rho_pinned(m, 0);
   for (int i = 0; i < m; ++i) {
     if (l[i] == kInf || u[i] == -kInf || u[i] - l[i] < 0) status = 2;  // primal infeasible
-    if (l[i] == -kInf && u[i] == kInf) w.rho[i] = 1e-6;
-    else if (w.sy[i] * std::fabs(l[i] - u[i]) < 1e-5) w.rho[i] = 1e3 * o.rho;
+    if (l[i] == -kInf && u[i] == kInf) { w.rho[i] = 1e-6; rho_pinned[i] = 1; }
+    else if (w.sy[i] * std::fabs(l[i] - u[i]) < 1e-5) w.rho[i] = o.rho_eq_scale * o.rho;
   }
 
   // ---------------------------------------------- reduced KKT factorization
-  w.Mred.assign((std::size_t)n * n, 0.0);
-  for (int i = 0; i < n; ++i)
-    for (int j = 0; j < n; ++j) {
-      double v = w.Ps[(std::size_t)i * n + j] + (i == j ? o.sigma : 0.0);
-      for (int k = 0; k < m; ++k)
-        v += w.As[(std::size_t)k * n + i] * w.rho[k] * w.As[(std::size_t)k * n + j];
-      w.Mred[(std::size_t)i * n + j] = v;
-    }
+  const auto build_mred = [&](const std::vector<double>& rho, std::vector<double>& out) {
+    out.assign((std::size_t)n * n, 0.0);
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) {
+        double v = w.Ps[(std::size_t)i * n + j] + (i == j ? o.sigma : 0.0);
+        for (int k = 0; k < m; ++k)
+          v += w.As[(std::size_t)k * n + i] * rho[k] * w.As[(std::size_t)k * n + j];
+        out[(std::size_t)i * n + j] = v;
+      }
+  };
+  build_mred(w.rho, w.Mred);
   w.Lfac = w.Mred;
   if (status < 0 && !cholesky(w.Lfac.data(), n)) status = 6;  // unknown
 
@@ -319,6 +329,34 @@ int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
           else di = std::fabs(Adx[i]) < o.eps_dual_inf * dxn;
         }
         if (di) { status = 3; ++iter; break; }
+      }
+
+      // residual-balancing rho adaptation (OSQP sec. 5.2); mirrors the JAX
+      // solver's lane/xla adaptive_rho exactly (same ratio, band, clipping,
+      // and keep-old-factors-on-failure semantics) so iteration counts stay
+      // cross-language comparable
+      if (o.adaptive_rho) {
+        const double tiny = std::numeric_limits<double>::min();
+        const double pscale = std::fmax(Axn, norm_inf(z_us.data(), m));
+        const double pn = pres / std::fmax(pscale, tiny);
+        const double dn = dres / std::fmax(dscale, tiny);
+        const double ratio = (pn > 0 && dn > 0) ? pn / std::fmax(dn, tiny) : 1.0;
+        const double mult = std::sqrt(ratio);
+        if (mult > o.adaptive_rho_tol || mult < 1.0 / o.adaptive_rho_tol) {
+          std::vector<double> rho_new(m);
+          for (int i = 0; i < m; ++i) {
+            double r = std::fmin(std::fmax(w.rho[i] * mult, 1e-6), 1e6);
+            rho_new[i] = rho_pinned[i] ? 1e-6 : r;
+          }
+          std::vector<double> Mred_new, Lnew;
+          build_mred(rho_new, Mred_new);
+          Lnew = Mred_new;
+          if (cholesky(Lnew.data(), n)) {
+            w.rho = std::move(rho_new);
+            w.Mred = std::move(Mred_new);
+            w.Lfac = std::move(Lnew);
+          }  // else: keep the previous rho/factors
+        }
       }
     }
   }

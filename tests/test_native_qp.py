@@ -116,3 +116,58 @@ def test_native_polish_kkt():
         assert stat <= 1e-11, stat
         assert pfeas <= 1e-11, pfeas
         assert comp <= 1e-11, comp
+
+
+def test_native_adaptive_rho_parity():
+    """adaptive_rho in the embedded solver mirrors the JAX implementation
+    exactly: same statuses, same iteration counts (same adaptation schedule),
+    matching primals — on scale-imbalanced problems where adaptation fires."""
+    import dataclasses
+
+    prm = QPSolverParams(
+        eps_abs=1e-7, eps_rel=1e-7, max_iter=50000, polish=False,
+        scaling=False, adaptive_rho=True,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(31), 6)
+    adapted = 0
+    for k in keys:
+        qp0 = random_qp(k, n=5, m=9)
+        qp = QuadraticProgram(
+            P=1000.0 * qp0.P, q=1000.0 * qp0.q, A=qp0.A, l=qp0.l, u=qp0.u
+        )
+        jsol = solve_qp(qp, prm)
+        nres = solve_qp_native(
+            *[np.asarray(a) for a in qp],
+            eps_abs=1e-7, eps_rel=1e-7, max_iter=50000, polish=0,
+            scaling=0, adaptive_rho=1,
+        )
+        assert int(jsol.status) == nres.status
+        assert int(jsol.iters) == nres.iters, (int(jsol.iters), nres.iters)
+        if nres.status == QPSolutionStatus.Optimal:
+            np.testing.assert_allclose(jsol.primal, nres.primal, atol=1e-5)
+        # count problems where adaptation actually beat the static schedule
+        jstat = solve_qp(qp, dataclasses.replace(prm, adaptive_rho=False))
+        if int(jsol.iters) < int(jstat.iters):
+            adapted += 1
+    assert adapted >= 3  # the imbalanced family must actually exercise it
+
+
+def test_native_rho_eq_scale():
+    """rho_eq_scale flows through the C ABI (equality rows get scaled rho)."""
+    # equality-constrained QP: min x'x s.t. x0 + x1 = 1
+    P = np.eye(2)
+    q = np.zeros(2)
+    A = np.array([[1.0, 1.0]])
+    l = np.array([1.0])
+    u = np.array([1.0])
+    r1 = solve_qp_native(P, q, A, l, u, rho_eq_scale=1e3, polish=0)
+    r2 = solve_qp_native(P, q, A, l, u, rho_eq_scale=15.0, polish=0)
+    assert r1.status == r2.status == QPSolutionStatus.Optimal
+    np.testing.assert_allclose(r1.primal, [0.5, 0.5], atol=1e-3)
+    np.testing.assert_allclose(r2.primal, [0.5, 0.5], atol=1e-3)
+    # different rho schedules -> (generically) different iteration counts
+    js = solve_qp(
+        QuadraticProgram(*map(jnp.asarray, (P, q, A, l, u))),
+        QPSolverParams(polish=False, rho_eq_scale=15.0),
+    )
+    assert int(js.iters) == r2.iters
