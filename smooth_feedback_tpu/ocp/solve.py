@@ -17,7 +17,7 @@ from typing import Callable, List, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..solvers.sqp import SQPParams, solve_nlp_sqp
+from ..solvers.sqp import SQPParams, solve_nlp_sqp, solve_nlp_sqp_batch
 from .collocation.functions import mesh_dyn_error
 from .collocation.mesh import Mesh
 from .nlp import NLPSolution, NLPSolutionStatus
@@ -216,8 +216,6 @@ def solve_ocp_flat_batch(
     ``nlpsol_to_ocpsol(make_flat(theta_i), mesh, jax.tree.map(lambda a:
     a[i], nlpsol))``.
     """
-    from ..solvers.sqp import solve_nlp_sqp_batch
-
     if mesh is None:
         mesh = Mesh()
 
