@@ -310,3 +310,33 @@ def test_solve_ocp_flat_batch():
     np.testing.assert_allclose(
         np.asarray(o0.q), np.asarray(sol0.q), rtol=1e-3
     )
+
+
+def test_solve_ocp_flat_batch_fail_fast():
+    """The fleet driver stops when ANY member is non-Optimal (fail_fast) —
+    the batch analog of the single-driver log-and-stop behavior."""
+    from smooth_feedback_tpu.ocp import solve_ocp_flat_batch
+
+    X, U = Rn(2), Rn(1)
+
+    def make_flat(p0):
+        return _di_ocp()._replace(
+            ce=lambda tf, x0, xf, q: jnp.concatenate(
+                [tf[None], x0 - jnp.stack([p0, jnp.zeros(())]), xf]
+            ),
+            cel=jnp.array([5.0, 0.0, 0.0, 0.0, 0.0]),
+            ceu=jnp.array([5.0, 0.0, 0.0, 0.0, 0.0]),
+        )
+
+    params = SolveOCPParams(
+        target_err=1e-12, max_refine_iter=4, tf_guess=5.0,
+        sqp=SQPParams(max_iter=1),  # IterationLimit on the first solve
+    )
+    _, _, info = solve_ocp_flat_batch(
+        make_flat, jnp.array([1.0, 0.9]), Mesh.uniform(3, 5), params
+    )
+    assert np.all(
+        np.asarray(info.statuses) == NLPSolutionStatus.IterationLimit
+    )
+    assert len(info.meshes) == 1  # stopped before any refinement
+    assert np.isnan(info.errors[-1])
