@@ -230,28 +230,28 @@ def solve_ocp_flat_batch(
     nlpsol = None
 
     for it in range(params.max_refine_iter):
-        solve = _batch_solve_cache.get(
-            "solve",
-            make_flat,
-            (mesh, params.sqp),
-            lambda: jax.jit(
-                lambda th, zz: solve_nlp_sqp_batch(
+
+        def _build_solve(mesh=mesh):
+            def solve(th, zz):
+                return solve_nlp_sqp_batch(
                     lambda t: ocp_to_nlp(make_flat(t), mesh), th, zz, params.sqp
                 )
-            ),
+
+            return jax.jit(solve)
+
+        solve = _batch_solve_cache.get(
+            "solve", make_flat, (mesh, params.sqp), _build_solve
         )
         nlpsol = solve(thetas, z)
         statuses = nlpsol.status
-        all_opt = bool(
-            (jnp.asarray(statuses) == int(NLPSolutionStatus.Optimal)).all()
-        )
+        all_opt = bool((statuses == int(NLPSolutionStatus.Optimal)).all())
 
         if not all_opt and params.fail_fast:
             meshes.append(mesh)
             iters.append(nlpsol.iters)
             errors.append(float("nan"))
             if params.verbose:
-                n_bad = int((jnp.asarray(statuses) != 0).sum())
+                n_bad = int((statuses != 0).sum())
                 print(
                     f"[solve_ocp_batch] iter {it}: {n_bad}/{B} non-Optimal; "
                     "stopping"
@@ -288,19 +288,18 @@ def solve_ocp_flat_batch(
         mesh_new = mesh.refine_errors(
             [float(e) for e in errs], 0.1 * params.target_err
         )
-        transfer = _batch_solve_cache.get(
-            "xfer",
-            make_flat,
-            (mesh, mesh_new),
-            lambda: jax.jit(
-                jax.vmap(
-                    lambda th, s: ocpsol_to_nlpsol(
-                        make_flat(th),
-                        mesh_new,
-                        nlpsol_to_ocpsol(make_flat(th), mesh, s),
-                    )
+
+        def _build_xfer(mesh=mesh, mesh_new=mesh_new):
+            def one(th, s):
+                flat = make_flat(th)
+                return ocpsol_to_nlpsol(
+                    flat, mesh_new, nlpsol_to_ocpsol(flat, mesh, s)
                 )
-            ),
+
+            return jax.jit(jax.vmap(one))
+
+        transfer = _batch_solve_cache.get(
+            "xfer", make_flat, (mesh, mesh_new), _build_xfer
         )
         z = transfer(thetas, nlpsol)
         mesh = mesh_new

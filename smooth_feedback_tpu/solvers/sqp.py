@@ -62,6 +62,19 @@ def _violation(nlp: NLP, x, gval):
     return vg + vx
 
 
+def _zero_qp_ws(prefix: tuple, n: int, m: int, dt) -> QPSolution:
+    """Zero inner-QP warmstart with the subproblem's (m + n dual) shapes."""
+    return QPSolution(
+        primal=jnp.zeros(prefix + (n,), dt),
+        dual=jnp.zeros(prefix + (m + n,), dt),
+        status=jnp.full(prefix, int(QPSolutionStatus.Unknown), jnp.int32),
+        iters=jnp.zeros(prefix, jnp.int32),
+        objective=jnp.zeros(prefix, dt),
+        primal_res=jnp.full(prefix, jnp.asarray(jnp.inf, dt)),
+        dual_res=jnp.full(prefix, jnp.asarray(jnp.inf, dt)),
+    )
+
+
 def solve_nlp_sqp(
     nlp: NLP,
     x0: jax.Array,
@@ -331,15 +344,7 @@ def _solve_nlp_sqp_impl(
         return jnp.logical_and(st.it < params.max_iter, jnp.logical_not(st.done))
 
     lam_init = jnp.zeros((m,), dt) if lam0 is None else lam0
-    ws0 = QPSolution(
-        primal=jnp.zeros((n,), dt),
-        dual=jnp.zeros((m + n,), dt),
-        status=jnp.asarray(int(QPSolutionStatus.Unknown), jnp.int32),
-        iters=jnp.asarray(0, jnp.int32),
-        objective=jnp.asarray(0.0, dt),
-        primal_res=inf,
-        dual_res=inf,
-    )
+    ws0 = _zero_qp_ws((), n, m, dt)
     x0 = jnp.asarray(x0, dt)
     st0 = _State(
         it=jnp.int32(0),
@@ -644,17 +649,16 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         # freeze converged elements (mask-and-continue, cf. the QP solver)
         runc = run[:, None]
         runm = run[:, None, None]
-        sel = lambda mask, a, b: jnp.where(mask, a, b)
         return _BState(
             it=st.it + 1,
-            x=sel(runc, x_new, st.x),
-            lam=sel(runc, lam_new, st.lam),
-            z=sel(runc, z_new, st.z),
-            reg=sel(run, reg, st.reg),
-            tau=sel(run, tau, st.tau),
-            kkt=sel(run, kkt, st.kkt),
+            x=jnp.where(runc, x_new, st.x),
+            lam=jnp.where(runc, lam_new, st.lam),
+            z=jnp.where(runc, z_new, st.z),
+            reg=jnp.where(run, reg, st.reg),
+            tau=jnp.where(run, tau, st.tau),
+            kkt=jnp.where(run, kkt, st.kkt),
             done=jnp.logical_or(st.done, done_new),
-            iters=sel(run, st.it + 1, st.iters),
+            iters=jnp.where(run, st.it + 1, st.iters),
             qp_iters=st.qp_iters + jnp.where(run, sol.iters, 0),
             qp_ws=jax.tree.map(
                 lambda a, b: jnp.where(
@@ -663,11 +667,11 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
                 sol,
                 st.qp_ws,
             ),
-            fval=sel(run, f_new, st.fval),
-            gval=sel(runc, g_new, st.gval),
-            grad=sel(runc, grad_new, st.grad),
-            J=sel(runm, J_new, st.J),
-            Hb=sel(runm, Hb, st.Hb),
+            fval=jnp.where(run, f_new, st.fval),
+            gval=jnp.where(runc, g_new, st.gval),
+            grad=jnp.where(runc, grad_new, st.grad),
+            J=jnp.where(runm, J_new, st.J),
+            Hb=jnp.where(runm, Hb, st.Hb),
         )
 
     def cond(st: _BState):
@@ -676,15 +680,7 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         )
 
     lam_init = jnp.zeros((B, m), dt) if lam0 is None else jnp.asarray(lam0, dt)
-    ws0 = QPSolution(
-        primal=jnp.zeros((B, n), dt),
-        dual=jnp.zeros((B, m + n), dt),
-        status=jnp.full((B,), int(QPSolutionStatus.Unknown), jnp.int32),
-        iters=jnp.zeros((B,), jnp.int32),
-        objective=jnp.zeros((B,), dt),
-        primal_res=jnp.full((B,), inf),
-        dual_res=jnp.full((B,), inf),
-    )
+    ws0 = _zero_qp_ws((B,), n, m, dt)
     x0 = jnp.asarray(x0, dt)
     st0 = _BState(
         it=jnp.int32(0),
