@@ -98,12 +98,12 @@ def main(B=None):
         # (measured: problems either converge in ~7-9 SQP iterations or stall
         # in the 3e-4..9e-3 band; most reach far below 1e-2 — see median_kkt
         # in the output).  The 1e-6 protocol is the CPU f64 run.
-        # qp max_iter: the inner ADMM runs in lockstep across the vmapped
-        # batch, so one straggler that cannot reach eps 1e-6 in f32 makes
-        # EVERY element burn the full budget each SQP iteration — the sweep
-        # is ~linear in this cap.  Measured (B=64): 4000 -> 10.2 solves/s,
-        # 2000 -> 16.4, 1200 -> 26.5, all 100% Optimal; median KKT degrades
-        # only from 7.3e-4 (4000) to 1.0e-3 (1200), still 10x under tol.
+        # qp max_iter: with the natively batched SQP the inner ADMM loop
+        # exits as soon as every member's subproblem converges, so this cap
+        # only binds members that stall at the f32 residual floor.  (On the
+        # older vmapped form — no early exit — the sweep was ~linear in the
+        # cap: 4000 -> 10.2 solves/s, 1200 -> 26.5 at B=64, which is why it
+        # sits at 1200; re-tune against qp_iters_p50/max in the output.)
         prm = SQPParams(
             max_iter=60, tol=1e-2,
             qp=QPSolverParams(
@@ -114,7 +114,7 @@ def main(B=None):
     else:
         B = B or 16
         prm = SQPParams(max_iter=120, tol=1e-6)
-    # NOTE: the vmapped SQP program is compile-heavy (minutes); runtime is fast
+    # NOTE: the batched SQP program is compile-heavy (~a minute); runtime is fast
 
     # Natively batched SQP (one scalar loop over the fleet), NOT
     # jax.vmap(solve_nlp_sqp): vmap lowers every solver branch to a
