@@ -25,6 +25,7 @@ import sys
 import time
 
 TPU = "--tpu" in sys.argv
+VMAP = "--vmap" in sys.argv  # measure the vmapped solver for comparison
 
 import jax
 
@@ -119,15 +120,30 @@ def main(B=None):
     # Natively batched SQP (one scalar loop over the fleet), NOT
     # jax.vmap(solve_nlp_sqp): vmap lowers every solver branch to a
     # both-branches select and erases the inner QP's early exit, measured
-    # 4.4x slower at 2x the compile time on this sweep.
-    def sweep_fn(vels):
-        n = make_flat_nlp(mesh, jax.tree.map(lambda a: a[0], vels)).n
-        # initial guess: tf = 5, zero deviations
-        z0 = jnp.zeros((vels.shape[0], n)).at[:, 0].set(5.0)
-        sol = solve_nlp_sqp_batch(
-            lambda vel: make_flat_nlp(mesh, vel), vels, z0, prm
-        )
-        return sol.status, sol.iters, sol.kkt_res, sol.objective, sol.qp_iters
+    # 4.4x slower at 2x the compile time on this sweep (CPU f64, B=8).
+    # Pass --vmap to measure the vmapped form for comparison.
+    if VMAP:
+        from smooth_feedback_tpu.solvers import solve_nlp_sqp
+
+        def sweep_fn(vels):
+            def solve_one(vel):
+                nlp = make_flat_nlp(mesh, vel)
+                z0 = jnp.zeros((nlp.n,)).at[0].set(5.0)
+                sol = solve_nlp_sqp(nlp, z0, prm)
+                return sol.status, sol.iters, sol.kkt_res, sol.objective, sol.qp_iters
+
+            return jax.vmap(solve_one)(vels)
+
+    else:
+
+        def sweep_fn(vels):
+            n = make_flat_nlp(mesh, jax.tree.map(lambda a: a[0], vels)).n
+            # initial guess: tf = 5, zero deviations
+            z0 = jnp.zeros((vels.shape[0], n)).at[:, 0].set(5.0)
+            sol = solve_nlp_sqp_batch(
+                lambda vel: make_flat_nlp(mesh, vel), vels, z0, prm
+            )
+            return sol.status, sol.iters, sol.kkt_res, sol.objective, sol.qp_iters
 
     sweep = jax.jit(sweep_fn)
     t0 = time.perf_counter()
@@ -168,6 +184,7 @@ def main(B=None):
         "median_kkt": float(f"{np.median(kkt):.2e}"),
         "max_kkt": float(f"{np.max(kkt):.2e}"),
         "compile_s": round(t_compile, 1),
+        "solver": "vmapped" if VMAP else "batched",
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(out))
