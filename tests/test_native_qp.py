@@ -171,3 +171,83 @@ def test_native_rho_eq_scale():
         QPSolverParams(polish=False, rho_eq_scale=15.0),
     )
     assert int(js.iters) == r2.iters
+
+
+def test_native_sanitizers():
+    """Build the embedded solver with ASan+UBSan and drive every code path
+    (scaled solve, polish, warmstart, adaptive rho, infeasible) — the
+    reference links -fsanitize=undefined,address into every test binary
+    (tests/CMakeLists.txt:27); this is the analog for the native twin."""
+    import os
+    import subprocess
+    import tempfile
+    import textwrap
+
+    here = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )  # repo root
+    src = os.path.join(here, "smooth_feedback_tpu", "native", "qp_solver.cpp")
+
+    driver = textwrap.dedent("""
+        #include <cstdio>
+        extern "C" {
+        struct SfQpOptions {
+          double alpha, rho, sigma; int scaling;
+          double eps_abs, eps_rel, eps_primal_inf, eps_dual_inf;
+          int max_iter, stop_check_iter, polish, polish_iter;
+          double delta, rho_eq_scale; int adaptive_rho; double adaptive_rho_tol;
+        };
+        struct SfQpResult { int status; int iters; double objective, primal_res, dual_res; };
+        void sf_qp_default_options(SfQpOptions*);
+        int sf_qp_solve(int, int, const double*, const double*, const double*,
+                        const double*, const double*, const SfQpOptions*,
+                        double*, double*, SfQpResult*);
+        }
+        int main() {
+          const double inf = 1.0 / 0.0;
+          SfQpOptions o; sf_qp_default_options(&o);
+          SfQpResult r;
+          // box QP with polish
+          { double P[4] = {1,0,0,1}, q[2] = {-4, 0.25};
+            double A[4] = {1,0,0,1}, l[2] = {-1,-1}, u[2] = {1,1};
+            double x[2] = {0,0}, y[2] = {0,0};
+            if (sf_qp_solve(2, 2, P, q, A, l, u, &o, x, y, &r) != 0) return 1;
+            // warmstarted re-solve
+            if (sf_qp_solve(2, 2, P, q, A, l, u, &o, x, y, &r) != 0) return 2; }
+          // adaptive rho on a scale-imbalanced problem, no scaling
+          { SfQpOptions oa = o; oa.scaling = 0; oa.adaptive_rho = 1; oa.polish = 0;
+            double P[4] = {1000,0,0,1000}, q[2] = {-4000, 250};
+            double A[4] = {1,0,0,1}, l[2] = {-1,-1}, u[2] = {1,1};
+            double x[2] = {0,0}, y[2] = {0,0};
+            if (sf_qp_solve(2, 2, P, q, A, l, u, &oa, x, y, &r) != 0) return 3; }
+          // primal infeasible (certificate path) + unbounded rho pinning
+          { double P[4] = {1,0,0,1}, q[2] = {0.1, 0.1};
+            double A[6] = {1,1, -1,-1, 1,0}, l[3] = {0.5, 0.5, -inf}, u[3] = {1, 1, inf};
+            double x[2] = {0,0}, y[3] = {0,0,0};
+            if (sf_qp_solve(2, 3, P, q, A, l, u, &o, x, y, &r) != 2) return 4; }
+          // equality rows + rho_eq_scale
+          { SfQpOptions oe = o; oe.rho_eq_scale = 15.0; oe.polish = 0;
+            double P[4] = {1,0,0,1}, q[2] = {0, 0};
+            double A[2] = {1,1}, l[1] = {1}, u[1] = {1};
+            double x[2] = {0,0}, y[1] = {0};
+            if (sf_qp_solve(2, 1, P, q, A, l, u, &oe, x, y, &r) != 0) return 5; }
+          std::puts("SAN OK");
+          return 0;
+        }
+    """)
+
+    with tempfile.TemporaryDirectory() as td:
+        main_cpp = os.path.join(td, "main.cpp")
+        exe = os.path.join(td, "san_driver")
+        with open(main_cpp, "w") as f:
+            f.write(driver)
+        build = subprocess.run(
+            ["g++", "-std=c++17", "-O1", "-g",
+             "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+             src, main_cpp, "-o", exe],
+            capture_output=True, text=True,
+        )
+        assert build.returncode == 0, build.stderr
+        run = subprocess.run([exe], capture_output=True, text=True)
+        assert run.returncode == 0, (run.returncode, run.stdout, run.stderr)
+        assert "SAN OK" in run.stdout
