@@ -292,3 +292,28 @@ def test_batch_sqp_adaptive_rho_and_bfgs():
     np.testing.assert_allclose(
         np.asarray(sols_b.x), np.asarray(sols.x), atol=1e-5
     )
+
+
+def test_batch_sqp_per_member_bounds():
+    """Bounds may differ per member (they flow through make_nlp like any
+    other problem data): x0 >= b activates differently across the fleet."""
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    def make(b):
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (x[0] - 1.0) ** 2 + x[1] ** 2,
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.stack([b, -jnp.inf * jnp.ones(())]),  # x0 >= b
+            xu=jnp.full(2, inf),
+            gl=jnp.array([-inf]),
+            gu=jnp.array([10.0]),
+        )
+
+    bs = jnp.array([0.0, 2.0, 3.0])  # inactive, active, active
+    sols = solve_nlp_sqp_batch(make, bs, jnp.full((3, 2), 4.0), SQPParams(max_iter=40))
+    assert np.all(np.asarray(sols.status) == NLPSolutionStatus.Optimal)
+    np.testing.assert_allclose(sols.x[0], [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(sols.x[1], [2.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(sols.x[2], [3.0, 0.0], atol=1e-6)
