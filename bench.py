@@ -160,9 +160,44 @@ def main():
     )
 
 
+def _preflight(timeout_s: float = 180.0) -> bool:
+    """Probe device availability in a SUBPROCESS before committing to the
+    real run: a wedged axon tunnel hangs ``jax.devices()`` indefinitely and
+    ignores SIGTERM (observed fault mode), which would otherwise turn a dead
+    device into a silent multi-hour hang instead of an honest failure line.
+    A healthy tunnel answers in seconds; the generous budget absorbs slow
+    cold starts."""
+    import subprocess
+
+    probe = "import jax; print(jax.devices()[0].platform)"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1:
         K = int(sys.argv[1])
     if len(sys.argv) > 2:
         B = int(sys.argv[2])
+    if not _preflight():
+        print(
+            json.dumps(
+                {
+                    "metric": f"di_mpc_k{K}_qp_solves_per_sec",
+                    "value": 0.0,
+                    "unit": "solves/sec",
+                    "vs_baseline": 0.0,
+                    "error": "device unavailable (jax.devices() probe timed out)",
+                }
+            )
+        )
+        sys.exit(1)
     main()
