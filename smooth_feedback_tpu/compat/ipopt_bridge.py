@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ocp.nlp import NLP, NLPSolution, NLPSolutionStatus
+from ..nlp import NLP, NLPSolution, NLPSolutionStatus
 
 
 def ipopt_available() -> bool:

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ocp.nlp import NLP, NLPSolution, NLPSolutionStatus
+from ..nlp import NLP, NLPSolution, NLPSolutionStatus
 
 
 def solve_nlp_scipy(nlp: NLP, x0, maxiter: int = 500, tol: float = 1e-9) -> NLPSolution:

@@ -474,17 +474,23 @@ def _fleet_meas_lin(G, h, g, y, Y, z, e=None):
     in the tangent space AT ``g`` (the Gauss-Newton Jacobian that pairs with
     a covariance anchored at ``g``; cf. :func:`ekf_update_iterated`)."""
     if e is None:
+        # plain update: evaluate h directly at g (no exp(0)+compose on the
+        # hot path, and bit-exact with the pre-iterated-form code)
+        at = lambda gi, ei, w: G.rplus(gi, w)
+        hval = jax.vmap(h)(g)
         e = jnp.zeros((g.shape[0], z.shape[0]), z.dtype)
-    hval = jax.vmap(lambda gi, ei: h(G.rplus(gi, ei)))(g, e)
+    else:
+        at = lambda gi, ei, w: G.rplus(gi, ei + w)
+        hval = jax.vmap(lambda gi, ei: h(G.rplus(gi, ei)))(g, e)
     if Y is None:
         H = jax.vmap(
-            lambda gi, ei: jax.jacfwd(lambda w: h(G.rplus(gi, ei + w)))(z)
+            lambda gi, ei: jax.jacfwd(lambda w: h(at(gi, ei, w)))(z)
         )(g, e)
         innov = y - hval
     else:
         H = jax.vmap(
             lambda gi, ei, hi: jax.jacfwd(
-                lambda w: Y.rminus(h(G.rplus(gi, ei + w)), hi)
+                lambda w: Y.rminus(h(at(gi, ei, w)), hi)
             )(z)
         )(g, e, hval)
         innov = jax.vmap(Y.rminus)(y, hval)

@@ -151,7 +151,10 @@ def solve_ocp_flat(
                 f"max dyn err {max_err:.2e}"
             )
 
-        if max_err <= params.target_err:
+        # never refine on the final pass: the refined mesh would never be
+        # solved, and the returned mesh must be the one the returned
+        # solution was solved on
+        if max_err <= params.target_err or it == params.max_refine_iter - 1:
             break
 
         mesh = mesh.refine_errors(
@@ -215,6 +218,13 @@ def solve_ocp_flat_batch(
     batch axis; reconstruct per-member trajectories with
     ``nlpsol_to_ocpsol(make_flat(theta_i), mesh, jax.tree.map(lambda a:
     a[i], nlpsol))``.
+
+    Compiled programs are memoized per (family, bounds values, mesh
+    signature, params).  ``make_flat`` must be PURE in ``theta``: problem
+    data that changes between calls has to flow through ``theta`` (a traced
+    argument) — data captured in the closure bakes into the compiled trace.
+    Bound arrays are the exception (keyed by value, like the single-problem
+    driver's cache), so changing bounds between calls is safe.
     """
     if mesh is None:
         mesh = Mesh()
@@ -224,6 +234,22 @@ def solve_ocp_flat_batch(
     flat0 = make_flat(th0)
     z1 = nlp_initial_guess(flat0, mesh, params.tf_guess)
     z = jnp.broadcast_to(z1, (B,) + z1.shape)
+
+    # Cache-key component capturing make_flat's closure DATA by value (the
+    # bounds, like _SolveCache): problem data must flow through ``theta``
+    # (an argument of the compiled programs), but bounds captured in the
+    # closure bake into the trace — keying them by value prevents a rebound
+    # closure from silently reusing a stale compile.
+    import numpy as _np
+
+    fam_key = (
+        tuple(
+            tuple(_np.asarray(b).ravel().tolist())
+            for b in (flat0.crl, flat0.cru, flat0.cel, flat0.ceu)
+        ),
+        flat0.X,
+        flat0.U,
+    )
 
     meshes, iters, errors = [], [], []
     statuses = jnp.full((B,), int(NLPSolutionStatus.IterationLimit), jnp.int32)
@@ -240,7 +266,7 @@ def solve_ocp_flat_batch(
             return jax.jit(solve)
 
         solve = _batch_solve_cache.get(
-            "solve", make_flat, (mesh, params.sqp), _build_solve
+            "solve", make_flat, fam_key + (mesh, params.sqp), _build_solve
         )
         nlpsol = solve(thetas, z)
         statuses = nlpsol.status
@@ -268,7 +294,9 @@ def solve_ocp_flat_batch(
 
             return jax.jit(jax.vmap(one))
 
-        err_fn = _batch_solve_cache.get("err", make_flat, (mesh, mesh_hi), _build_err)
+        err_fn = _batch_solve_cache.get(
+            "err", make_flat, fam_key + (mesh, mesh_hi), _build_err
+        )
         errs_b = err_fn(thetas, nlpsol)  # (B, n_ivals)
         errs = jnp.max(errs_b, axis=0)  # fleet-max per interval
         max_err = float(jnp.max(errs))
@@ -282,7 +310,10 @@ def solve_ocp_flat_batch(
                 f"{mesh.N_colloc} pts, max dyn err {max_err:.2e}"
             )
 
-        if max_err <= params.target_err:
+        # never refine on the final pass (same rationale as solve_ocp_flat:
+        # the returned mesh must be the one nlpsol was solved on — the
+        # docstring reconstruction recipe reshapes nlpsol.x by mesh layout)
+        if max_err <= params.target_err or it == params.max_refine_iter - 1:
             break
 
         mesh_new = mesh.refine_errors(
@@ -299,7 +330,7 @@ def solve_ocp_flat_batch(
             return jax.jit(jax.vmap(one))
 
         transfer = _batch_solve_cache.get(
-            "xfer", make_flat, (mesh, mesh_new), _build_xfer
+            "xfer", make_flat, fam_key + (mesh, mesh_new), _build_xfer
         )
         z = transfer(thetas, nlpsol)
         mesh = mesh_new

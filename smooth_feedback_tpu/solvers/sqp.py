@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ocp.nlp import NLP, NLPSolution, NLPSolutionStatus
+from ..nlp import NLP, NLPSolution, NLPSolutionStatus
 from ..qp.solver import solve_qp_batch
 from ..qp.types import QPSolution, QPSolutionStatus, QPSolverParams, QuadraticProgram
 

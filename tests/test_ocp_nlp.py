@@ -340,3 +340,51 @@ def test_solve_ocp_flat_batch_fail_fast():
     )
     assert len(info.meshes) == 1  # stopped before any refinement
     assert np.isnan(info.errors[-1])
+
+
+def test_solve_ocp_flat_batch_returned_mesh_matches_solution():
+    """Regression: with the error target unreachable and refinement budget
+    exhausted, the returned mesh must be the one the returned nlpsol was
+    solved on (the driver used to refine on the final pass and return a
+    never-solved mesh, crashing the documented reconstruction recipe); and
+    a rebound bounds closure must not reuse a stale compile (the cache keys
+    bounds by value)."""
+    from smooth_feedback_tpu.ocp import solve_ocp_flat_batch
+
+    X, U = Rn(2), Rn(1)
+    cel_box = [jnp.array([5.0, 0.0, 0.0, 0.0, 0.0])]
+
+    def make_flat(p0):
+        cel = cel_box[0]
+        return _di_ocp()._replace(
+            ce=lambda tf, x0, xf, q: jnp.concatenate(
+                [tf[None], x0 - jnp.stack([p0, jnp.zeros(())]), xf]
+            ),
+            cel=cel,
+            ceu=cel,
+        )
+
+    params = SolveOCPParams(
+        target_err=1e-14, max_refine_iter=2, tf_guess=5.0,
+        sqp=SQPParams(max_iter=60, tol=1e-6),
+    )
+    sol, mesh, info = solve_ocp_flat_batch(
+        make_flat, jnp.array([1.0, 0.8]), Mesh.uniform(2, 4), params
+    )
+    assert mesh == info.meshes[-1]
+    o = nlpsol_to_ocpsol(
+        make_flat(jnp.asarray(1.0)), mesh, jax.tree.map(lambda a: a[0], sol)
+    )
+    np.testing.assert_allclose(o.x(jnp.asarray(0.0)), [1.0, 0.0], atol=1e-5)
+
+    # stale-compile regression: change the xf target THROUGH THE BOUNDS and
+    # re-solve with the same make_flat/mesh/params
+    params1 = dataclasses.replace(params, target_err=1e-2, max_refine_iter=1)
+    sa, _, _ = solve_ocp_flat_batch(
+        make_flat, jnp.array([1.0]), Mesh.uniform(2, 4), params1
+    )
+    cel_box[0] = jnp.array([5.0, 0.0, 0.0, 0.5, 0.0])
+    sb, _, _ = solve_ocp_flat_batch(
+        make_flat, jnp.array([1.0]), Mesh.uniform(2, 4), params1
+    )
+    assert abs(float(sa.objective[0]) - float(sb.objective[0])) > 1e-6

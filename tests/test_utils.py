@@ -118,8 +118,9 @@ def test_spline_c2_acceleration_continuity():
 
 
 def test_import_order_solvers_first():
-    """Importing solvers BEFORE ocp must not hit the solvers.sqp <-> ocp.solve
-    import cycle (regression: solvers/__init__ pre-initializes ocp)."""
+    """Importing solvers BEFORE ocp must not hit a solvers.sqp <-> ocp.solve
+    import cycle (regression: the NLP types live at the package top level,
+    smooth_feedback_tpu/nlp.py, precisely so no such cycle exists)."""
     import subprocess
     import sys
 
