@@ -110,6 +110,12 @@ def main(B=None):
             qp=QPSolverParams(
                 eps_abs=1e-6, eps_rel=1e-6, max_iter=1200, polish=True,
                 kkt_refine_iters=1,
+                # adaptive_rho measured 2.3x SLOWER here on TPU (12.6 vs
+                # 29.0 solves/s): each stopping-check refactorization is a
+                # fresh Cholesky while the straggler iterations it saves are
+                # cheap GEMMs.  (On the CPU f64 protocol it HELPS — 8.3x
+                # fewer straggler iterations — because factorization is
+                # relatively cheaper there.  Device-dependent knob.)
             ),
         )
     else:
