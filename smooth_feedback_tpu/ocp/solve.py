@@ -22,7 +22,13 @@ from .collocation.functions import mesh_dyn_error
 from .collocation.mesh import Mesh
 from .nlp import NLPSolution, NLPSolutionStatus
 from .ocp import OCP, OCPSolution
-from .to_nlp import nlp_initial_guess, nlpsol_to_ocpsol, ocp_to_nlp, ocpsol_to_nlpsol
+from .to_nlp import (
+    nlp_initial_guess,
+    nlp_layout,
+    nlpsol_to_ocpsol,
+    ocp_to_nlp,
+    ocpsol_to_nlpsol,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,7 +94,7 @@ class _SolveCache:
             if all(a is b for a, b in zip(self._funs(held), self._funs(flatocp))):
                 return jitted
         nlp = ocp_to_nlp(flatocp, mesh)
-        jitted = jax.jit(lambda zz: solve_nlp_sqp(nlp, zz, sqp))
+        jitted = jax.jit(lambda zz, ll: solve_nlp_sqp(nlp, zz, sqp, lam0=ll))
         if len(self._entries) >= self._maxsize:
             self._entries.pop(next(iter(self._entries)))
         self._entries[key] = (flatocp, jitted)
@@ -112,6 +118,7 @@ def solve_ocp_flat(
         mesh = Mesh()
 
     z = nlp_initial_guess(flatocp, mesh, params.tf_guess)
+    lam = jnp.zeros((nlp_layout(flatocp, mesh).m,), z.dtype)
     meshes, iters, errors = [], [], []
     status = NLPSolutionStatus.IterationLimit
     ocpsol = None
@@ -120,7 +127,7 @@ def solve_ocp_flat(
         # memoized: one trace/compile per (problem, mesh signature, params) —
         # refinement loops and same-mesh sweeps reuse the compiled solve
         solve = _solve_cache.get(flatocp, mesh, params.sqp)
-        nlpsol = solve(z)
+        nlpsol = solve(z, lam)
         status = NLPSolutionStatus(int(nlpsol.status))
         ocpsol = nlpsol_to_ocpsol(flatocp, mesh, nlpsol)
 
@@ -160,7 +167,9 @@ def solve_ocp_flat(
         mesh = mesh.refine_errors(
             [float(e) for e in errs], 0.1 * params.target_err
         )
-        z = ocpsol_to_nlpsol(flatocp, mesh, ocpsol)
+        # full warmstart transfer: primal AND constraint multipliers
+        # (ocp_to_nlp.hpp:515-554 + test_ocp_ipopt.cpp:129)
+        z, lam = ocpsol_to_nlpsol(flatocp, mesh, ocpsol, multipliers=True)
 
     return ocpsol, mesh, SolveOCPInfo(meshes, iters, errors, status)
 
@@ -234,6 +243,7 @@ def solve_ocp_flat_batch(
     flat0 = make_flat(th0)
     z1 = nlp_initial_guess(flat0, mesh, params.tf_guess)
     z = jnp.broadcast_to(z1, (B,) + z1.shape)
+    lam = jnp.zeros((B, nlp_layout(flat0, mesh).m), z1.dtype)
 
     # Cache-key component capturing make_flat's closure DATA by value (the
     # bounds, like _SolveCache): problem data must flow through ``theta``
@@ -258,9 +268,13 @@ def solve_ocp_flat_batch(
     for it in range(params.max_refine_iter):
 
         def _build_solve(mesh=mesh):
-            def solve(th, zz):
+            def solve(th, zz, ll):
                 return solve_nlp_sqp_batch(
-                    lambda t: ocp_to_nlp(make_flat(t), mesh), th, zz, params.sqp
+                    lambda t: ocp_to_nlp(make_flat(t), mesh),
+                    th,
+                    zz,
+                    params.sqp,
+                    lam0=ll,
                 )
 
             return jax.jit(solve)
@@ -268,7 +282,7 @@ def solve_ocp_flat_batch(
         solve = _batch_solve_cache.get(
             "solve", make_flat, fam_key + (mesh, params.sqp), _build_solve
         )
-        nlpsol = solve(thetas, z)
+        nlpsol = solve(thetas, z, lam)
         statuses = nlpsol.status
         all_opt = bool((statuses == int(NLPSolutionStatus.Optimal)).all())
 
@@ -323,8 +337,10 @@ def solve_ocp_flat_batch(
         def _build_xfer(mesh=mesh, mesh_new=mesh_new):
             def one(th, s):
                 flat = make_flat(th)
+                # full warmstart transfer: primal AND constraint multipliers
                 return ocpsol_to_nlpsol(
-                    flat, mesh_new, nlpsol_to_ocpsol(flat, mesh, s)
+                    flat, mesh_new, nlpsol_to_ocpsol(flat, mesh, s),
+                    multipliers=True,
                 )
 
             return jax.jit(jax.vmap(one))
@@ -332,7 +348,7 @@ def solve_ocp_flat_batch(
         transfer = _batch_solve_cache.get(
             "xfer", make_flat, fam_key + (mesh, mesh_new), _build_xfer
         )
-        z = transfer(thetas, nlpsol)
+        z, lam = transfer(thetas, nlpsol)
         mesh = mesh_new
 
     return nlpsol, mesh, SolveOCPBatchInfo(meshes, iters, errors, statuses)

@@ -72,6 +72,17 @@ def split_vars(lay: NLPLayout, z):
     return tf, q, X, U
 
 
+def node_scalings(mesh: Mesh, dtype=None) -> jax.Array:
+    """Per-node constraint-row scaling ``w_scaling * w_i`` applied to the
+    dynamics-defect and running-constraint rows (ocp_to_nlp.hpp:122-151).
+    Multipliers of those rows carry the INVERSE of this scaling; dividing it
+    out recovers the smooth continuous-time (density) multipliers that
+    interpolate and transfer across meshes."""
+    ws = np.asarray(mesh.all_weights())
+    w_scaling = 1.0 / max(1e-6, float(ws.max()))
+    return jnp.asarray(w_scaling * ws[: mesh.N_colloc], dtype)
+
+
 def ocp_to_nlp(ocp: OCP, mesh: Mesh, dtype=None) -> NLP:
     """Transcribe a flat OCP into an NLP (cf. ocp_to_nlp, ocp_to_nlp.hpp:432)."""
     lay = nlp_layout(ocp, mesh)
@@ -134,7 +145,14 @@ def nlpsol_to_ocpsol(
     ocp: OCP, mesh: Mesh, nlpsol: NLPSolution
 ) -> OCPSolution:
     """Reconstruct trajectory callables from an NLP solution
-    (cf. nlpsol_to_ocpsol, ocp_to_nlp.hpp:442-508)."""
+    (cf. nlpsol_to_ocpsol, ocp_to_nlp.hpp:442-508).
+
+    The multiplier callables ``lam_dyn(t)`` / ``lam_cr(t)`` return the
+    SCALING-FREE (density) multipliers — the raw NLP multipliers divided by
+    the per-row transcription scaling ``w_scaling * w_i`` — so they
+    interpolate as smooth functions of t and transfer exactly across meshes
+    (the reference interpolates the raw scaled values, ocp_to_nlp.hpp:485-496,
+    which bakes the old mesh's quadrature weights into the warmstart)."""
     lay = nlp_layout(ocp, mesh)
     tf, q, X, U = split_vars(lay, nlpsol.x)
 
@@ -144,8 +162,9 @@ def nlpsol_to_ocpsol(
     def ufun(t):
         return mesh_interp(mesh, U, t / tf, extend=False)
 
-    lam_d = nlpsol.lam[lay.d_B : lay.qc_B].reshape(lay.N, lay.nx)
-    lam_cr = nlpsol.lam[lay.cr_B : lay.ce_B].reshape(lay.N, lay.ncr)
+    s = node_scalings(mesh, nlpsol.x.dtype)  # (N,)
+    lam_d = nlpsol.lam[lay.d_B : lay.qc_B].reshape(lay.N, lay.nx) / s[:, None]
+    lam_cr = nlpsol.lam[lay.cr_B : lay.ce_B].reshape(lay.N, lay.ncr) / s[:, None]
 
     def lam_dyn_fun(t):
         return mesh_interp(mesh, lam_d, t / tf, extend=False)
@@ -167,18 +186,54 @@ def nlpsol_to_ocpsol(
 
 
 def ocpsol_to_nlpsol(
-    ocp: OCP, mesh: Mesh, ocpsol: OCPSolution, dtype=None
-) -> jax.Array:
+    ocp: OCP, mesh: Mesh, ocpsol: OCPSolution, dtype=None, multipliers: bool = False
+):
     """Sample an OCP solution onto a (possibly different) mesh as an NLP
-    primal warmstart (cf. ocpsol_to_nlpsol, ocp_to_nlp.hpp:515-554).
+    warmstart (cf. ocpsol_to_nlpsol, ocp_to_nlp.hpp:515-554).
 
-    Returns the primal vector only; multipliers restart at zero."""
+    With ``multipliers=False`` (default) returns the primal vector only.
+    With ``multipliers=True`` returns ``(z, lam)``: the density multiplier
+    interpolants ``lam_dyn``/``lam_cr`` are sampled at the new mesh's nodes
+    and re-scaled by ITS per-row scaling ``w_scaling * w_i``, and
+    ``lam_q``/``lam_ce`` carry over directly — the full constraint-multiplier
+    rebuild the reference performs (ocp_to_nlp.hpp:536-549; bound multipliers
+    zl/zu restart at zero there too, ocp_to_nlp.hpp:551-552).  Warmstarting
+    the SQP with this ``lam`` is what makes cross-mesh re-solves converge in
+    the same few iterations as same-mesh ones (test_ocp_ipopt.cpp:129)."""
     lay = nlp_layout(ocp, mesh)
     tf = jnp.asarray(ocpsol.tf, dtype)
     taus = jnp.asarray(np.asarray(mesh.all_nodes()), dtype)
     X = jax.vmap(lambda s: ocpsol.x(s * tf))(taus)
     U = jax.vmap(lambda s: ocpsol.u(s * tf))(taus[: lay.N])
     q = ocpsol.q if ocpsol.q is not None else jnp.zeros((lay.nq,), dtype)
-    return jnp.concatenate(
+    z = jnp.concatenate(
         [tf[None], jnp.asarray(q, dtype), X.ravel().astype(dtype), U.ravel().astype(dtype)]
     )
+    if not multipliers:
+        return z
+
+    s_new = node_scalings(mesh, dtype)  # (N,)
+    zeros = lambda k: jnp.zeros((k,), dtype)
+    lam_d = (
+        s_new[:, None]
+        * jax.vmap(lambda s: ocpsol.lam_dyn(s * tf))(taus[: lay.N])
+        if ocpsol.lam_dyn is not None
+        else zeros(lay.N * lay.nx).reshape(lay.N, lay.nx)
+    )
+    lam_cr = (
+        s_new[:, None]
+        * jax.vmap(lambda s: ocpsol.lam_cr(s * tf))(taus[: lay.N])
+        if ocpsol.lam_cr is not None
+        else zeros(lay.N * lay.ncr).reshape(lay.N, lay.ncr)
+    )
+    lam_q = ocpsol.lam_q if ocpsol.lam_q is not None else zeros(lay.nq)
+    lam_ce = ocpsol.lam_ce if ocpsol.lam_ce is not None else zeros(lay.nce)
+    lam = jnp.concatenate(
+        [
+            lam_d.ravel().astype(dtype),
+            jnp.asarray(lam_q, dtype),
+            lam_cr.ravel().astype(dtype),
+            jnp.asarray(lam_ce, dtype),
+        ]
+    )
+    return z, lam

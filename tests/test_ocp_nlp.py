@@ -211,8 +211,10 @@ def test_refinement_fail_fast_on_non_optimal():
 
 
 def test_warmstart_transfer_across_meshes():
-    """ocpsol_to_nlpsol transfers a solution onto a refined mesh and the
-    warm-started solve converges quickly."""
+    """ocpsol_to_nlpsol transfers primal AND multipliers onto a refined mesh
+    and the warm-started solve converges in the reference's iteration regime
+    (<= 6 after transfer, test_ocp_ipopt.cpp:129; multiplier rebuild
+    ocp_to_nlp.hpp:536-549)."""
     ocp = _di_ocp()
     mesh1 = Mesh.uniform(3, 5)
     nlp1 = ocp_to_nlp(ocp, mesh1)
@@ -221,13 +223,33 @@ def test_warmstart_transfer_across_meshes():
     osol1 = nlpsol_to_ocpsol(ocp, mesh1, sol1)
 
     mesh2 = Mesh.uniform(6, 6)
-    z2 = ocpsol_to_nlpsol(ocp, mesh2, osol1)
     nlp2 = ocp_to_nlp(ocp, mesh2)
-    sol2 = solve_nlp_sqp(nlp2, z2, SQPParams(max_iter=100, tol=1e-7))
+    z2, lam2 = ocpsol_to_nlpsol(ocp, mesh2, osol1, multipliers=True)
+    sol2 = solve_nlp_sqp(nlp2, z2, SQPParams(max_iter=100, tol=1e-7), lam0=lam2)
     assert int(sol2.status) == NLPSolutionStatus.Optimal
-    # warmstart makes it fast (the exact-Hessian convexification shift costs
-    # a few extra iterations when constrained directions carry curvature)
-    assert int(sol2.iters) <= 30
+    assert int(sol2.iters) <= 6
+
+    # the full transfer beats (or matches) the primal-only restart
+    z2p = ocpsol_to_nlpsol(ocp, mesh2, osol1)
+    sol2p = solve_nlp_sqp(nlp2, z2p, SQPParams(max_iter=100, tol=1e-7))
+    assert int(sol2.iters) <= int(sol2p.iters)
+
+
+def test_multiplier_transfer_roundtrip_exact():
+    """Same-mesh nlpsol -> ocpsol -> nlpsol round trip reproduces BOTH the
+    primal and the constraint multipliers exactly at the nodes (the density
+    interpolants are barycentric-exact at their own nodes, and the per-row
+    scaling w_scaling * w_i cancels)."""
+    ocp = _di_ocp()
+    mesh = Mesh.uniform(3, 5)
+    nlp = ocp_to_nlp(ocp, mesh)
+    z0 = nlp_initial_guess(ocp, mesh, 5.0)
+    sol = solve_nlp_sqp(nlp, z0, SQPParams(max_iter=100, tol=1e-7))
+    assert int(sol.status) == NLPSolutionStatus.Optimal
+    osol = nlpsol_to_ocpsol(ocp, mesh, sol)
+    z_rt, lam_rt = ocpsol_to_nlpsol(ocp, mesh, osol, multipliers=True)
+    np.testing.assert_allclose(np.asarray(z_rt), np.asarray(sol.x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lam_rt), np.asarray(sol.lam), atol=1e-12)
 
 
 def test_solve_ocp_one_call():
@@ -251,6 +273,62 @@ def test_solve_ocp_one_call():
     np.testing.assert_allclose(x0[:4], np.asarray(ocp.X.identity()[:4]), atol=1e-4)
     np.testing.assert_allclose(x0[4:], [1.0, 0.0], atol=1e-4)
     assert float(sol.tf) == pytest.approx(5.0, abs=1e-6)
+
+
+def test_se3_ocp_pipeline():
+    """SE(3)xR^3 rigid-body OCP through the FULL pipeline (flatten -> SQP ->
+    hp-refinement -> unflatten), exercising the closed-form SE(3) d2r
+    (groups.py Barfoot-Q) in a real solve — the OCP-path complement of the
+    SE(3) MPC coverage (cf. reference ocp_flatten.hpp:58-81)."""
+    from smooth_feedback_tpu.groups import SE3
+    from smooth_feedback_tpu.ocp import solve_ocp
+
+    X = Bundle(SE3, Rn(3))  # pose + body linear velocity
+    U = Rn(6)  # [linear acceleration (3), body angular velocity (3)]
+    twist = jnp.array([0.5, 0.0, 0.1, 0.0, 0.0, 0.3])  # translate + yaw screw
+
+    def xdes(t):
+        return jnp.concatenate([SE3.exp(t * twist), twist[:3]])
+
+    def f(t, x, u):
+        # d(pose) = [v_body, w], d(v) = a
+        return jnp.concatenate([x[7:10], u[3:6], u[0:3]])
+
+    def g(t, x, u):
+        e = X.rminus(x, xdes(t))
+        return jnp.array([0.5 * (e @ e + 0.1 * u @ u)])
+
+    x0_des = jnp.concatenate([jnp.zeros(6), twist[:3]])  # log coords
+    ce_val = jnp.concatenate([jnp.array([3.0]), x0_des])
+    ocp = OCP(
+        X=X, U=U,
+        theta=lambda tf, x0, xf, q: q[0],
+        f=f, g=g,
+        cr=lambda t, x, u: u,
+        crl=-2.0 * jnp.ones(6), cru=2.0 * jnp.ones(6),
+        ce=lambda tf, x0, xf, q: jnp.concatenate([tf[None], X.log(x0)]),
+        cel=ce_val, ceu=ce_val,
+    )
+    xl = lambda t: X.identity()
+    ul = lambda t: jnp.full(6, 0.01)
+    params = SolveOCPParams(
+        target_err=1e-3, max_refine_iter=2, tf_guess=3.0,
+        sqp=SQPParams(max_iter=150, tol=1e-7),
+    )
+    sol, mesh, info = solve_ocp(ocp, xl, ul, Mesh(), params)
+    assert info.status == NLPSolutionStatus.Optimal
+
+    # initial conditions pinned: identity pose, v = twist[:3]
+    x0 = sol.x(jnp.asarray(0.0))
+    np.testing.assert_allclose(
+        np.asarray(x0[:7]), np.asarray(SE3.identity()), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(x0[7:]), np.asarray(twist[:3]), atol=1e-5)
+    assert float(sol.tf) == pytest.approx(3.0, abs=1e-6)
+
+    # the solution actually tracks the screw by mid-horizon
+    e_mid = X.rminus(sol.x(jnp.asarray(2.0)), xdes(jnp.asarray(2.0)))
+    assert float(jnp.linalg.norm(e_mid)) < 0.2
 
 
 def test_solve_ocp_flat_batch():
