@@ -163,14 +163,21 @@ def acos_over_sinc(x):
 
 
 def cos4c2(x2):
-    """(1 - t^2/2 - cos(t)) / t^4 with t = sqrt(x2)  (= -1/24 + t^2/720 - ...)."""
+    """(1 - t^2/2 - cos(t)) / t^4 with t = sqrt(x2)  (= -1/24 + t^2/720 - ...).
+
+    NOTE (here and in every exact branch below): the denominator must use the
+    GUARDED square ``t*t``, never the raw ``x2`` — dividing by raw x2 makes
+    the unselected branch inf at x2 = 0 and reverse-mode ``where`` turns the
+    0 * inf into NaN (measured: jacrev of the flattened SE(3) dynamics was
+    NaN at e = 0 while jacfwd was finite)."""
     small = x2 < 0.25
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t  # guarded square: == x2 on the exact branch, 1 on the series
     series = (
         -(1.0 - x2 / 30.0 * (1.0 - x2 / 56.0 * (1.0 - x2 / 90.0 * (1.0 - x2 / 132.0))))
         / 24.0
     )
-    exact = (1.0 - 0.5 * x2 - jnp.cos(t)) / (x2 * x2)
+    exact = (1.0 - 0.5 * x2s - jnp.cos(t)) / (x2s * x2s)
     return jnp.where(small, series, exact)
 
 
@@ -178,11 +185,12 @@ def sin5c2(x2):
     """(t - sin(t) - t^3/6) / t^5 with t = sqrt(x2)  (= -1/120 + t^2/5040 - ...)."""
     small = x2 < 0.25
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t
     series = (
         -(1.0 - x2 / 42.0 * (1.0 - x2 / 72.0 * (1.0 - x2 / 110.0 * (1.0 - x2 / 156.0))))
         / 120.0
     )
-    exact = (t - jnp.sin(t) - t * x2 / 6.0) / (x2 * x2 * t)
+    exact = (t - jnp.sin(t) - t * x2s / 6.0) / (x2s * x2s * t)
     return jnp.where(small, series, exact)
 
 
@@ -203,8 +211,9 @@ def dcos1c2(x2):
     """d/ds [(1 - cos t)/t^2], s = t^2 = x2."""
     small = x2 < _dcut2(x2.dtype)
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t  # guarded square (see cos4c2's NaN note)
     series = -(1.0 - x2 / 15.0 * (1.0 - 3.0 * x2 / 112.0 * (1.0 - 2.0 * x2 / 135.0))) / 24.0
-    exact = jnp.sin(t) / (2.0 * t * x2) - (1.0 - jnp.cos(t)) / (x2 * x2)
+    exact = jnp.sin(t) / (2.0 * t * x2s) - (1.0 - jnp.cos(t)) / (x2s * x2s)
     return jnp.where(small, series, exact)
 
 
@@ -212,9 +221,10 @@ def dsin3c2(x2):
     """d/ds [(t - sin t)/t^3], s = t^2 = x2."""
     small = x2 < _dcut2(x2.dtype)
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t
     series = -(1.0 - x2 / 21.0 * (1.0 - x2 / 48.0 * (1.0 - 2.0 * x2 / 165.0))) / 120.0
-    exact = (1.0 - jnp.cos(t)) / (2.0 * x2 * x2) - 3.0 * (t - jnp.sin(t)) / (
-        2.0 * x2 * x2 * t
+    exact = (1.0 - jnp.cos(t)) / (2.0 * x2s * x2s) - 3.0 * (t - jnp.sin(t)) / (
+        2.0 * x2s * x2s * t
     )
     return jnp.where(small, series, exact)
 
@@ -223,14 +233,15 @@ def djlinv2c2(x2):
     """d/ds [1/t^2 - (1 + cos t)/(2 t sin t)], s = t^2 = x2."""
     small = x2 < _dcut2(x2.dtype)
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t
     series = (1.0 + x2 / 21.0 * (1.0 + 3.0 * x2 / 80.0)) / 720.0
     s_, c_ = jnp.sin(t), jnp.cos(t)
     N = 1.0 + c_
     # d/dt [N/(2 t s)] = (-s * 2ts - N*(2s + 2tc)) / (2ts)^2
     du = (-s_ * 2.0 * t * s_ - N * (2.0 * s_ + 2.0 * t * c_)) / _safe_denom(
-        4.0 * x2 * s_ * s_
+        4.0 * x2s * s_ * s_
     )
-    dc3_dt = -2.0 / (x2 * t) - du
+    dc3_dt = -2.0 / (x2s * t) - du
     return jnp.where(small, series, dc3_dt / (2.0 * t))
 
 
@@ -243,10 +254,11 @@ def dcos4c2(x2):
     to cancellation than its parent."""
     small = x2 < 0.25
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t
     series = (1.0 - x2 / 28.0 * (1.0 - x2 / 60.0 * (1.0 - x2 / 99.0))) / 720.0
-    exact = (-0.5 + jnp.sin(t) / (2.0 * t)) / (x2 * x2) - 2.0 * (
-        1.0 - 0.5 * x2 - jnp.cos(t)
-    ) / (x2 * x2 * x2)
+    exact = (-0.5 + jnp.sin(t) / (2.0 * t)) / (x2s * x2s) - 2.0 * (
+        1.0 - 0.5 * x2s - jnp.cos(t)
+    ) / (x2s * x2s * x2s)
     return jnp.where(small, series, exact)
 
 
@@ -257,8 +269,9 @@ def dsin5c2(x2):
           = (1 - s/36 (1 - 3 s/220 (1 - s/117))) / 5040."""
     small = x2 < 0.25
     t = jnp.sqrt(jnp.where(small, jnp.ones_like(x2), x2))
+    x2s = t * t
     series = (1.0 - x2 / 36.0 * (1.0 - 3.0 * x2 / 220.0 * (1.0 - x2 / 117.0))) / 5040.0
-    exact = (1.0 - jnp.cos(t) - 0.5 * x2) / (2.0 * x2 * x2 * x2) - 2.5 * (
-        t - jnp.sin(t) - t * x2 / 6.0
-    ) / (x2 * x2 * x2 * t)
+    exact = (1.0 - jnp.cos(t) - 0.5 * x2s) / (2.0 * x2s * x2s * x2s) - 2.5 * (
+        t - jnp.sin(t) - t * x2s / 6.0
+    ) / (x2s * x2s * x2s * t)
     return jnp.where(small, series, exact)

@@ -23,6 +23,7 @@ SMOKE_KWARGS = {
     "mpc_se3_rigidbody": dict(steps=40),
     "ocp_doubleintegrator_qp": dict(n_ival=3),
     "ocp_se2_nlp": dict(target_err=1e-2, max_refine_iter=1),
+    "ocp_se3_nlp": dict(target_err=1e-2, max_refine_iter=1, B=2),
     "ocp_se2_qp": dict(n_ival=2),
     "pid_se2": dict(steps=60),
 }

@@ -207,3 +207,28 @@ def test_series_derivative_helpers():
         got = jax.vmap(f)(ss)
         want = jax.vmap(jax.grad(base))(ss)
         np.testing.assert_allclose(got, want, rtol=2e-7, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", GROUPS)
+def test_reverse_mode_finite_at_zero(name):
+    """REVERSE-mode derivatives of the Jacobian closed forms are finite at
+    (and near) e = 0.  Regression for the where-guard NaN leak: exact
+    branches that divided by the raw squared angle (instead of the guarded
+    one) made jacrev of the flattened SE(3) dynamics NaN at e = 0 — which
+    is every flatten/SQP solve's linearization point (fe in ocp/flatten.py;
+    _series.py cos4c2 note)."""
+    G = GROUPS[name]
+    n = G.ndof
+    ones = jnp.ones((n,))
+    for pt in (jnp.zeros(n), 1e-9 * jnp.ones(n), 0.3 * jnp.arange(1.0, n + 1) / n):
+        for op in (G.dr_exp, G.dr_expinv, G.dl_expinv):
+            Jr = jax.jacrev(lambda e: op(e) @ ones)(pt)
+            Jf = jax.jacfwd(lambda e: op(e) @ ones)(pt)
+            assert bool(jnp.isfinite(Jr).all()), (name, op.__name__, pt)
+            np.testing.assert_allclose(
+                np.asarray(Jr), np.asarray(Jf), atol=1e-12,
+                err_msg=f"{name} {op.__name__} fwd/rev disagree",
+            )
+        # the rev-of-fwd Hessian path the SQP's exact mode traces
+        H = jax.jacrev(jax.jacfwd(lambda e: G.dr_expinv(e)[0, :] @ ones))(pt)
+        assert bool(jnp.isfinite(H).all()), (name, "d2 dr_expinv", pt)
