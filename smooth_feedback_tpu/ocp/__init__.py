@@ -12,7 +12,13 @@ from .to_nlp import (
     ocp_to_nlp,
     ocpsol_to_nlpsol,
 )
-from .to_qp import body_velocity, ocp_to_qp, qpsol_to_ocpsol, variable_layout
+from .to_qp import (
+    body_velocity,
+    ocp_to_qp,
+    ocp_to_qp_vectors,
+    qpsol_to_ocpsol,
+    variable_layout,
+)
 
 __all__ = [
     "collocation",
@@ -20,6 +26,7 @@ __all__ = [
     "OCPSolution",
     "test_ocp_derivatives",
     "ocp_to_qp",
+    "ocp_to_qp_vectors",
     "qpsol_to_ocpsol",
     "variable_layout",
     "body_velocity",

@@ -96,6 +96,28 @@ def ocp_to_qp(
         return _ocp_to_qp_impl(ocp, mesh, tf, xl_fun, ul_fun, dxl_fun)
 
 
+def ocp_to_qp_vectors(
+    ocp: OCP,
+    mesh: Mesh,
+    tf,
+    xl_fun: Callable,
+    ul_fun: Callable,
+    dxl_fun: Optional[Callable] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The ``(q, l, u)`` VECTORS of the transcription only — the analog of
+    the reference's allocate/update split (ocp_to_qp.hpp:387-435), for
+    problem families whose QP matrices P/A are step-invariant (the
+    ``reuse_factors``/``condense`` MPC conditions): the per-step update then
+    needs only function values and cost GRADIENTS at the nodes — no
+    dynamics/constraint Jacobians, no cost Hessians, no (Nvar x Nvar)
+    scatters.  Exactly equal to the corresponding slices of ``ocp_to_qp``'s
+    output (parity-tested)."""
+    with jax.default_matmul_precision("highest"):
+        return _ocp_to_qp_impl(
+            ocp, mesh, tf, xl_fun, ul_fun, dxl_fun, vectors_only=True
+        )
+
+
 def _ocp_to_qp_impl(
     ocp: OCP,
     mesh: Mesh,
@@ -103,7 +125,8 @@ def _ocp_to_qp_impl(
     xl_fun: Callable,
     ul_fun: Callable,
     dxl_fun: Optional[Callable],
-) -> QuadraticProgram:
+    vectors_only: bool = False,
+):
     X, U = ocp.X, ocp.U
     lay = variable_layout(ocp, mesh)
     N, nx, nu = lay["N"], lay["nx"], lay["nu"]
@@ -138,9 +161,6 @@ def _ocp_to_qp_impl(
 
     th_grad = jax.grad(theta_t, argnums=(0, 1, 2))(zx, zx, jnp.zeros((1,), dt_))
     qo_x0, qo_xf, qo_q = th_grad
-    th_hess = jax.hessian(lambda w: theta_t(w[:nx], w[nx : 2 * nx], w[2 * nx :]))(
-        jnp.zeros((2 * nx + 1,), dt_)
-    )
 
     # per-node integrand value/grad/hessian (separable => block-diagonal d2F)
     def g_node(t, xl, ul, w):
@@ -150,83 +170,95 @@ def _ocp_to_qp_impl(
     g_grads = jax.vmap(
         lambda t, xl, ul: jax.grad(lambda w: g_node(t, xl, ul, w))(zxu)
     )(ts[:N], xls[:N], uls)  # (N, nx+nu)
-    g_hesss = jax.vmap(
-        lambda t, xl, ul: jax.hessian(lambda w: g_node(t, xl, ul, w))(zxu)
-    )(ts[:N], xls[:N], uls)  # (N, nx+nu, nx+nu)
 
     wtf = jnp.asarray(ws[:N]) * (tf - t0)  # (N,) quadrature * horizon
 
-    P = jnp.zeros((Nvar, Nvar), dt_)
     q = jnp.zeros((Nvar,), dt_)
-
-    # integral cost: P += qo_q * blockdiag_i( w_i tf Hess_i ), q += qo_q grads
-    hx = qo_q[0] * wtf[:, None, None] * g_hesss  # (N, nx+nu, nx+nu)
-    # scatter per-node blocks: xx, xu, ux, uu
     xrows = np.arange(N)[:, None] * nx + np.arange(nx)[None, :]  # (N, nx)
     urows = lay["uvar_B"] + np.arange(N)[:, None] * nu + np.arange(nu)[None, :]
-    P = P.at[xrows[:, :, None], xrows[:, None, :]].add(hx[:, :nx, :nx])
-    P = P.at[xrows[:, :, None], urows[:, None, :]].add(hx[:, :nx, nx:])
-    P = P.at[urows[:, :, None], xrows[:, None, :]].add(hx[:, nx:, :nx])
-    P = P.at[urows[:, :, None], urows[:, None, :]].add(hx[:, nx:, nx:])
     gq = qo_q[0] * wtf[:, None] * g_grads  # (N, nx+nu)
     q = q.at[xrows].add(gq[:, :nx])
     q = q.at[urows].add(gq[:, nx:])
 
-    # endpoint cost: P += 0.5 * Hess(theta) blocks (reference scale,
-    # ocp_to_qp.hpp:189-191), q += grad(theta) wrt x0, xf
     x0_idx = np.arange(nx)
     xf_idx = N * nx + np.arange(nx)
-    P = P.at[np.ix_(x0_idx, x0_idx)].add(0.5 * th_hess[:nx, :nx])
-    P = P.at[np.ix_(x0_idx, xf_idx)].add(0.5 * th_hess[:nx, nx : 2 * nx])
-    P = P.at[np.ix_(xf_idx, x0_idx)].add(0.5 * th_hess[nx : 2 * nx, :nx])
-    P = P.at[np.ix_(xf_idx, xf_idx)].add(0.5 * th_hess[nx : 2 * nx, nx : 2 * nx])
     q = q.at[x0_idx].add(qo_x0)
     q = q.at[xf_idx].add(qo_xf)
 
+    if not vectors_only:
+        th_hess = jax.hessian(
+            lambda w: theta_t(w[:nx], w[nx : 2 * nx], w[2 * nx :])
+        )(jnp.zeros((2 * nx + 1,), dt_))
+        g_hesss = jax.vmap(
+            lambda t, xl, ul: jax.hessian(lambda w: g_node(t, xl, ul, w))(zxu)
+        )(ts[:N], xls[:N], uls)  # (N, nx+nu, nx+nu)
+
+        P = jnp.zeros((Nvar, Nvar), dt_)
+        # integral cost: P += qo_q * blockdiag_i( w_i tf Hess_i )
+        hx = qo_q[0] * wtf[:, None, None] * g_hesss  # (N, nx+nu, nx+nu)
+        # scatter per-node blocks: xx, xu, ux, uu
+        P = P.at[xrows[:, :, None], xrows[:, None, :]].add(hx[:, :nx, :nx])
+        P = P.at[xrows[:, :, None], urows[:, None, :]].add(hx[:, :nx, nx:])
+        P = P.at[urows[:, :, None], xrows[:, None, :]].add(hx[:, nx:, :nx])
+        P = P.at[urows[:, :, None], urows[:, None, :]].add(hx[:, nx:, nx:])
+
+        # endpoint cost: P += 0.5 * Hess(theta) blocks (reference scale,
+        # ocp_to_qp.hpp:189-191)
+        P = P.at[np.ix_(x0_idx, x0_idx)].add(0.5 * th_hess[:nx, :nx])
+        P = P.at[np.ix_(x0_idx, xf_idx)].add(0.5 * th_hess[:nx, nx : 2 * nx])
+        P = P.at[np.ix_(xf_idx, x0_idx)].add(0.5 * th_hess[nx : 2 * nx, :nx])
+        P = P.at[np.ix_(xf_idx, xf_idx)].add(
+            0.5 * th_hess[nx : 2 * nx, nx : 2 * nx]
+        )
+
     # ============================================================== dynamics
     # (cf. ocp_to_qp_update_dyn, ocp_to_qp.hpp:199-276)
-    A = jnp.zeros((Ncon, Nvar), dt_)
     l = jnp.zeros((Ncon,), dt_)
     u = jnp.zeros((Ncon,), dt_)
-
-    def lin_dyn(t, xl, ul):
-        fval = ocp.f(t, xl, ul)
-        Af = jax.jacfwd(lambda w: ocp.f(t, X.rplus(xl, w), ul))(zx)
-        Bf = jax.jacfwd(lambda v: ocp.f(t, xl, U.rplus(ul, v)))(zu)
-        return fval, Af, Bf
-
-    fvals, Afs, Bfs = jax.vmap(lin_dyn)(ts[:N], xls[:N], uls)  # (N,nx) (N,nx,nx) (N,nx,nu)
-
-    Ablocks = tf * Afs
-    if not X.is_commutative():
-        ad_corr = jax.vmap(lambda i: X.ad(i))(fvals + dxls[:N])  # (N, nx, nx)
-        Ablocks = Ablocks - 0.5 * tf * ad_corr
-    Bblocks = tf * Bfs
-
     drows = np.arange(N)[:, None] * nx + np.arange(nx)[None, :]  # (N, nx) dyn rows
-    A = A.at[drows[:, :, None], xrows[:, None, :]].add(Ablocks)
-    A = A.at[drows[:, :, None], urows[:, None, :]].add(Bblocks)
 
-    # differentiation-matrix coupling: row block i, col block j: -alpha D[j,i] I
-    # (single scatter with indices precomputed at trace time)
-    offsets = mesh.interval_offsets()
-    R_idx, C_idx, V_val = [], [], []
-    for ival in range(mesh.N_ivals):
-        K = mesh.N_colloc_ival(ival)
-        D = diffmat_local(K)  # (K+1, K) static
-        alpha = mesh.interval_diffmat_unscaled(ival)[0]
-        o = int(offsets[ival])
-        rows_i = (o + np.arange(K))[:, None, None] * nx + np.arange(nx)[None, None, :]
-        cols_j = (o + np.arange(K + 1))[None, :, None] * nx + np.arange(nx)[None, None, :]
-        R3 = np.broadcast_to(rows_i, (K, K + 1, nx))
-        C3 = np.broadcast_to(cols_j, (K, K + 1, nx))
-        V3 = np.broadcast_to((-alpha * D.T)[:, :, None], (K, K + 1, nx))
-        R_idx.append(R3.reshape(-1))
-        C_idx.append(C3.reshape(-1))
-        V_val.append(V3.reshape(-1))
-    A = A.at[np.concatenate(R_idx), np.concatenate(C_idx)].add(
-        jnp.asarray(np.concatenate(V_val), dtype=dt_)
-    )
+    if vectors_only:
+        fvals = jax.vmap(ocp.f)(ts[:N], xls[:N], uls)  # (N, nx)
+    else:
+
+        def lin_dyn(t, xl, ul):
+            fval = ocp.f(t, xl, ul)
+            Af = jax.jacfwd(lambda w: ocp.f(t, X.rplus(xl, w), ul))(zx)
+            Bf = jax.jacfwd(lambda v: ocp.f(t, xl, U.rplus(ul, v)))(zu)
+            return fval, Af, Bf
+
+        fvals, Afs, Bfs = jax.vmap(lin_dyn)(ts[:N], xls[:N], uls)
+
+        A = jnp.zeros((Ncon, Nvar), dt_)
+        Ablocks = tf * Afs
+        if not X.is_commutative():
+            ad_corr = jax.vmap(lambda i: X.ad(i))(fvals + dxls[:N])  # (N, nx, nx)
+            Ablocks = Ablocks - 0.5 * tf * ad_corr
+        Bblocks = tf * Bfs
+
+        A = A.at[drows[:, :, None], xrows[:, None, :]].add(Ablocks)
+        A = A.at[drows[:, :, None], urows[:, None, :]].add(Bblocks)
+
+        # differentiation-matrix coupling: row block i, col block j: -alpha D[j,i] I
+        # (single scatter with indices precomputed at trace time)
+        offsets = mesh.interval_offsets()
+        R_idx, C_idx, V_val = [], [], []
+        for ival in range(mesh.N_ivals):
+            K = mesh.N_colloc_ival(ival)
+            D = diffmat_local(K)  # (K+1, K) static
+            alpha = mesh.interval_diffmat_unscaled(ival)[0]
+            o = int(offsets[ival])
+            rows_i = (o + np.arange(K))[:, None, None] * nx + np.arange(nx)[None, None, :]
+            cols_j = (o + np.arange(K + 1))[None, :, None] * nx + np.arange(nx)[None, None, :]
+            R3 = np.broadcast_to(rows_i, (K, K + 1, nx))
+            C3 = np.broadcast_to(cols_j, (K, K + 1, nx))
+            V3 = np.broadcast_to((-alpha * D.T)[:, :, None], (K, K + 1, nx))
+            R_idx.append(R3.reshape(-1))
+            C_idx.append(C3.reshape(-1))
+            V_val.append(V3.reshape(-1))
+        A = A.at[np.concatenate(R_idx), np.concatenate(C_idx)].add(
+            jnp.asarray(np.concatenate(V_val), dtype=dt_)
+        )
 
     ldyn = -tf * (fvals - dxls[:N])  # (N, nx)
     l = l.at[drows].set(ldyn)
@@ -235,16 +267,20 @@ def _ocp_to_qp_impl(
     # ===================================================== running constraints
     # (cf. ocp_to_qp_update_cr, ocp_to_qp.hpp:279-323)
     if ncr > 0:
-        def lin_cr(t, xl, ul):
-            c = ocp.cr(t, xl, ul)
-            Jx = jax.jacfwd(lambda w: ocp.cr(t, X.rplus(xl, w), ul))(zx)
-            Ju = jax.jacfwd(lambda v: ocp.cr(t, xl, U.rplus(ul, v)))(zu)
-            return c, Jx, Ju
-
-        crs, Jxs, Jus = jax.vmap(lin_cr)(ts[:N], xls[:N], uls)
         crrows = lay["crcon_B"] + np.arange(N)[:, None] * ncr + np.arange(ncr)[None, :]
-        A = A.at[crrows[:, :, None], xrows[:, None, :]].add(Jxs)
-        A = A.at[crrows[:, :, None], urows[:, None, :]].add(Jus)
+        if vectors_only:
+            crs = jax.vmap(ocp.cr)(ts[:N], xls[:N], uls)
+        else:
+
+            def lin_cr(t, xl, ul):
+                c = ocp.cr(t, xl, ul)
+                Jx = jax.jacfwd(lambda w: ocp.cr(t, X.rplus(xl, w), ul))(zx)
+                Ju = jax.jacfwd(lambda v: ocp.cr(t, xl, U.rplus(ul, v)))(zu)
+                return c, Jx, Ju
+
+            crs, Jxs, Jus = jax.vmap(lin_cr)(ts[:N], xls[:N], uls)
+            A = A.at[crrows[:, :, None], xrows[:, None, :]].add(Jxs)
+            A = A.at[crrows[:, :, None], urows[:, None, :]].add(Jus)
         l = l.at[crrows].set(jnp.asarray(ocp.crl)[None, :] - crs)
         u = u.at[crrows].set(jnp.asarray(ocp.cru)[None, :] - crs)
 
@@ -252,14 +288,17 @@ def _ocp_to_qp_impl(
     # (cf. ocp_to_qp_update_ce, ocp_to_qp.hpp:326-373)
     if nce > 0:
         ceval = ocp.ce(tf, xl0, xlf, ql)
-        Jce0 = jax.jacfwd(lambda w: ocp.ce(tf, X.rplus(xl0, w), xlf, ql))(zx)
-        Jcef = jax.jacfwd(lambda w: ocp.ce(tf, xl0, X.rplus(xlf, w), ql))(zx)
         cerows = lay["cecon_B"] + np.arange(nce)
-        A = A.at[np.ix_(cerows, x0_idx)].add(Jce0)
-        A = A.at[np.ix_(cerows, xf_idx)].add(Jcef)
+        if not vectors_only:
+            Jce0 = jax.jacfwd(lambda w: ocp.ce(tf, X.rplus(xl0, w), xlf, ql))(zx)
+            Jcef = jax.jacfwd(lambda w: ocp.ce(tf, xl0, X.rplus(xlf, w), ql))(zx)
+            A = A.at[np.ix_(cerows, x0_idx)].add(Jce0)
+            A = A.at[np.ix_(cerows, xf_idx)].add(Jcef)
         l = l.at[cerows].set(jnp.asarray(ocp.cel) - ceval)
         u = u.at[cerows].set(jnp.asarray(ocp.ceu) - ceval)
 
+    if vectors_only:
+        return q, l, u
     return QuadraticProgram(P=P, q=q, A=A, l=l, u=u)
 
 
