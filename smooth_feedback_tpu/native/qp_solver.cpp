@@ -374,7 +374,11 @@ int sf_qp_solve(int n, int m, const double* P, const double* q, const double* A,
     std::vector<char> low_act(m), up_act(m), act(m);
     for (int i = 0; i < m; ++i) {
       low_act[i] = (w.y[i] < -eps100) && std::isfinite(l[i]);
-      up_act[i] = (w.y[i] > eps100) && std::isfinite(u[i]);
+      // equality rows (l == u) are active at every solution regardless of
+      // the multiplier's size/sign (mirrors qp/solver.py::_polish)
+      const bool eq_row = std::isfinite(l[i]) && (u[i] - l[i]) <= 0.0;
+      up_act[i] = (((w.y[i] > eps100) && std::isfinite(u[i])) || eq_row) &&
+                  !low_act[i];
       act[i] = low_act[i] || up_act[i];
     }
     std::vector<double> S((std::size_t)n * n);

@@ -41,6 +41,7 @@ from .types import (
     QPSolverParams,
     QuadraticProgram,
 )
+from ..utils.compensated import cdot, cmatvec, two_sum
 from ..utils.linalg import chol_lane, chol_solve_lane, mv_lane
 
 _RUNNING = int(QPSolutionStatus.Running)
@@ -205,6 +206,16 @@ def _polish(prm, P, q, A, l, u, c, sx, sy, x, y):
 
     lower_act = jnp.logical_and(y < -100 * eps, jnp.isfinite(l))
     upper_act = jnp.logical_and(y > 100 * eps, jnp.isfinite(u))
+    # Equality rows (l == u) are active at EVERY solution regardless of the
+    # multiplier's sign or size; the |y| > 100 eps rule alone drops those
+    # whose y ~ 0, and the polished point then satisfies them only at the
+    # looser ADMM tolerance (measured f32 SQP consequence: transcribed
+    # equality rows stuck at ~eps_rel * |Ax| ~ 1e-4 violation, capping the
+    # achievable KKT certificate).
+    eq_row = jnp.logical_and(jnp.isfinite(l), (u - l) <= 0)
+    upper_act = jnp.logical_and(
+        jnp.logical_or(upper_act, eq_row), jnp.logical_not(lower_act)
+    )
     act = jnp.logical_or(lower_act, upper_act)
     D = act.astype(dt)
 
@@ -271,12 +282,19 @@ def _polish(prm, P, q, A, l, u, c, sx, sy, x, y):
     x_t = jnp.zeros((B, n), dt)
     nu_t = jnp.zeros((B, m), dt)
     for _ in range(prm.polish_iter):
-        # residual of the UNperturbed system H = [[Ps, Aa'], [Aa, 0]]
-        r_x = h_x - (
-            jnp.einsum("bnk,bk->bn", Ps, x_t)
-            + jnp.einsum("bmn,bm->bn", As_act, nu_t)
-        )
-        r_nu = h_nu - jnp.einsum("bmn,bn->bm", As_act, x_t)
+        # residual of the UNperturbed system H = [[Ps, Aa'], [Aa, 0]],
+        # COMPENSATED (utils/compensated.py): computed in plain f32 the
+        # residual carries ~eps * |H||t| evaluation noise (~1e-4 unscaled on
+        # collocation subproblems), which caps what iterative refinement can
+        # recover — and the SQP's stationarity floor inherits the polished
+        # dual's accuracy.  Error-free transforms push the refinement to the
+        # f32 representation limit of (x, nu) instead.  ~Free in f64.
+        hi1, lo1 = cmatvec(Ps, x_t)
+        hi2, lo2 = cdot(As_act, nu_t[:, :, None], axis=1)
+        s, e = two_sum(hi1, hi2)
+        r_x = (h_x - s) - (e + lo1 + lo2)
+        hi3, lo3 = cmatvec(As_act, x_t)
+        r_nu = (h_nu - hi3) - lo3
         dx_, dnu_ = hp_solve(r_x, r_nu)
         x_t = x_t + dx_
         nu_t = nu_t + dnu_
@@ -458,16 +476,60 @@ def _factorize_lane(Pt, qt, At, lt, ut, prm):
     Pst = c[None, None, :] * sx[:, None, :] * sx[None, :, :] * Pt
     Ast = sy[:, None, :] * At * sx[None, :, :]
 
-    ArA = ((Ast * rho[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(axis=0)
-    Mredt = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None] + ArA
-    L = chol_lane(Mredt)
-    fact_fail = jnp.logical_not(jnp.isfinite(L).all(axis=(0, 1)))  # (B,)
-    L = jnp.where(
-        fact_fail[None, None, :], jnp.eye(n, dtype=dt)[:, :, None], L
-    )
-    eyeB = jnp.broadcast_to(jnp.eye(n, dtype=dt)[:, :, None], (n, n, B))
-    Minvt = chol_solve_lane(L, eyeB)
+    Mredt, Minvt, fact_fail = _lane_chol_inverse(Pst, Ast, rho, prm.sigma)
     return c, sx, sy, rho, Pst, Ast, Mredt, Minvt, jnp.logical_not(fact_fail)
+
+
+# Above this n the unrolled chol_lane/chol_solve_lane trace O(n^3) vector ops
+# (minutes of compile) and the broadcast A' rho A materializes an
+# (m, n, n, B) intermediate; the mid-size path below factorizes batch-LEADING
+# instead — one MXU einsum + XLA's batched Cholesky/triangular-solve — and
+# transposes the results back to the lane layout once per (re)factorization.
+_LANE_UNROLL_MAX = 32
+
+
+def _lane_chol_inverse(Pst, Ast, rho, sigma):
+    """Reduced-KKT ``Mred = Ps + sigma I + A' rho A`` and its inverse for
+    (n, n, B)/(m, n, B) lane stacks; returns (Mredt, Minvt, fact_fail)."""
+    dt = Pst.dtype
+    n, _, B = Pst.shape
+    if n <= _LANE_UNROLL_MAX:
+        ArA = ((Ast * rho[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(
+            axis=0
+        )
+        Mredt = Pst + sigma * jnp.eye(n, dtype=dt)[:, :, None] + ArA
+        L = chol_lane(Mredt)
+        fact_fail = jnp.logical_not(jnp.isfinite(L).all(axis=(0, 1)))  # (B,)
+        L = jnp.where(
+            fact_fail[None, None, :], jnp.eye(n, dtype=dt)[:, :, None], L
+        )
+        eyeB = jnp.broadcast_to(jnp.eye(n, dtype=dt)[:, :, None], (n, n, B))
+        Minvt = chol_solve_lane(L, eyeB)
+        return Mredt, Minvt, fact_fail
+
+    # mid-size path (32 < n): batch-leading factorization, lane iteration
+    A_bl = jnp.moveaxis(Ast, -1, 0)  # (B, m, n)
+    ArA_bl = jnp.einsum("bmi,bm,bmj->bij", A_bl, rho.T, A_bl)
+    Mred_bl = (
+        jnp.moveaxis(Pst, -1, 0)
+        + sigma * jnp.eye(n, dtype=dt)[None]
+        + ArA_bl
+    )
+    L_bl = jnp.linalg.cholesky(Mred_bl)
+    fact_fail = jnp.logical_not(jnp.isfinite(L_bl).all(axis=(1, 2)))  # (B,)
+    L_bl = jnp.where(fact_fail[:, None, None], jnp.eye(n, dtype=dt)[None], L_bl)
+    eye_bl = jnp.broadcast_to(jnp.eye(n, dtype=dt)[None], (B, n, n))
+    Y = lax.linalg.triangular_solve(
+        L_bl, eye_bl, left_side=True, lower=True
+    )
+    Minv_bl = lax.linalg.triangular_solve(
+        L_bl, Y, left_side=True, lower=True, transpose_a=True
+    )
+    return (
+        jnp.moveaxis(Mred_bl, 0, -1),
+        jnp.moveaxis(Minv_bl, 0, -1),
+        fact_fail,
+    )
 
 
 def _stopping_check_lane(prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us):
@@ -564,12 +626,13 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
 
     dt = P.dtype
     B, m, n = A.shape
-    if n > 32:
-        raise ValueError(
-            f"backend='lane' is for tiny per-problem QPs (n <= 32, got n={n});"
-            " its broadcast contractions materialize (m, n, n, B) intermediates"
-            " — use backend='xla' or 'pallas' for larger problems"
-        )
+    # n <= 32 uses the fully-unrolled lane factorization; 32 < n factorizes
+    # batch-leading on the MXU and iterates in the lane layout (the
+    # batch-on-lanes (n, n, B) stacks avoid the 128-lane padding that evicts
+    # the XLA path's loop-invariant matrices from VMEM — measured 100x+ in
+    # the 32 < n <= 64 band at B=256).  Past VMEM capacity
+    # (~3 n^2 B floats) the loop streams from HBM and the advantage shrinks
+    # to the padding ratio; there is no hard cap.
     inf = jnp.asarray(jnp.inf, dt)
 
     Pt = jnp.moveaxis(P, 0, -1)
@@ -631,20 +694,9 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
     # rows whose rho is pinned (unbounded, qp_solver.hpp:361-374) never adapt
     rho_pinned = jnp.logical_and(lt == -inf, ut == inf)
 
-    # loop-invariant part of the reduced KKT matrix (finding: rebuilding the
-    # scaled P stack inside every in-loop refactorization is pure waste)
-    M0 = Pst + prm.sigma * jnp.eye(n, dtype=dt)[:, :, None]
-
     def _refactor(rho_):
-        ArA = ((Ast * rho_[:, None, :])[:, :, None, :] * Ast[:, None, :, :]).sum(
-            axis=0
-        )
-        Mredt_ = M0 + ArA
-        L = chol_lane(Mredt_)
-        bad = jnp.logical_not(jnp.isfinite(L).all(axis=(0, 1)))
-        L = jnp.where(bad[None, None, :], jnp.eye(n, dtype=dt)[:, :, None], L)
-        eyeB = jnp.broadcast_to(jnp.eye(n, dtype=dt)[:, :, None], (n, n, B))
-        return Mredt_, chol_solve_lane(L, eyeB), bad
+        Mredt_, Minvt_, bad = _lane_chol_inverse(Pst, Ast, rho_, prm.sigma)
+        return Mredt_, Minvt_, bad
 
     def cond(state):
         it = state[0]

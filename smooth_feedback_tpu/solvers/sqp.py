@@ -28,6 +28,7 @@ from jax import lax
 from ..nlp import NLP, NLPSolution, NLPSolutionStatus
 from ..qp.solver import solve_qp_batch
 from ..qp.types import QPSolution, QPSolutionStatus, QPSolverParams, QuadraticProgram
+from ..utils.compensated import stationarity_compensated
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +52,18 @@ class SQPParams:
     reg_bisect: int = 6
     ls_steps: int = 16  # backtracking grid size (alpha = 0.5**k)
     armijo: float = 1e-4
+    # Non-monotone (Grippo watchdog) line search: accept a step against the
+    # MAX merit of the last ``nonmonotone_M`` iterates instead of the current
+    # one.  This is the standard Maratos-effect remedy for an l1 merit: near
+    # a solution the full SQP step often RAISES the merit by the constraint
+    # curvature (second order) while the linear model predicts a tiny
+    # decrease, so a monotone search truncates alpha to ~1e-3, the
+    # regularization escalates, and convergence crawls (measured f32 stall
+    # in the 1e-4..1e-2 band).  The watchdog lets the full Newton step
+    # through; the M-window keeps it provably convergent.  1 = monotone.
+    # The reference's Ipopt fills this role with its filter + second-order
+    # corrections (compat/ipopt.hpp usage).
+    nonmonotone_M: int = 4
     # Equality-row Hessian augmentation (0 disables).  The Lagrangian
     # Hessian of a collocation NLP is indefinite along equality-constraint
     # directions (measured on the DI transcription: lambda_min(H) = -0.13
@@ -70,6 +83,15 @@ class SQPParams:
     # solver (PSD P required) cannot use.  The value scales the STARTING
     # c relative to |H|/|G|; escalation finds the magnitude on its own.
     aug_eq: float = 1.0
+    # Compensated (two-float) evaluation of the KKT stationarity residual
+    # (utils/compensated.py).  The plain f32 einsum's accumulation error is
+    # ~eps * m * |J||lam| (~1e-4..1e-2 on collocation NLPs), which both
+    # floors the measured residual AND falsely triggers/misses the `done`
+    # test; compensated accumulation restores f64-like accuracy from pure
+    # f32 ops, so on-device certificates at tol 1e-4 and below are
+    # trustworthy.  Fills the role of the reference's f64 NLP path
+    # (compat/ipopt.hpp:298).  No-op cost in f64.
+    compensated_kkt: bool = False
     verbose: bool = False  # per-iteration jax.debug.print of kkt/alpha/reg
     # Hessian mode: "exact" (Lagrangian Hessian by autodiff; fastest
     # convergence) or "bfgs" (damped BFGS; much lighter compile and
@@ -155,9 +177,16 @@ def _solve_nlp_sqp_impl(
         grad: jax.Array
         J: jax.Array
         Hb: jax.Array  # BFGS Hessian approximation (identity in exact mode)
+        # (objective, violation) ring buffers of the last M iterates for the
+        # non-monotone line search (merit recombined with the CURRENT mu)
+        fh: jax.Array  # (M,)
+        vh: jax.Array  # (M,)
 
     def kkt_residual(x, lam, z, gval, grad, J):
-        stat = jnp.max(jnp.abs(grad + J.T @ lam + z))
+        if params.compensated_kkt:
+            stat = stationarity_compensated(grad, J, lam, z)
+        else:
+            stat = jnp.max(jnp.abs(grad + J.T @ lam + z))
         # feasibility
         vg = jnp.maximum(
             jnp.max(jnp.maximum(0.0, nlp.gl - gval), initial=0.0),
@@ -186,7 +215,11 @@ def _solve_nlp_sqp_impl(
                 c_unit = (
                     params.aug_eq * (1.0 + jnp.max(jnp.abs(H))) / (1.0 + gmax)
                 )
-                c_cap = 1e12 * c_unit
+                # dtype-aware escalation cap: past cond(H + cG) ~ eps^-0.75
+                # the Cholesky test fails from ROUNDOFF, not indefiniteness,
+                # and a c that large poisons the ADMM subproblem anyway
+                # (f32: ~2e5 * c_unit; f64: the previous 1e12 * c_unit).
+                c_cap = c_unit / jnp.finfo(dt).eps ** 0.75
                 c0 = jnp.clip(st.caug / 10.0, c_unit, c_cap)
 
                 def _ok_c(c):
@@ -221,7 +254,22 @@ def _solve_nlp_sqp_impl(
                 _, c_aug = lax.fori_loop(
                     0, params.reg_bisect, _c_bis, (c_hi / 10.0, c_hi)
                 )
-                c_aug = jnp.where(c_ok, c_aug, c_hi)
+                # escalation exhausted without a PD Cholesky: augmentation
+                # cannot help (or roundoff defeats the test at this
+                # precision) — give up on it entirely and let the tau shift
+                # below convexify.  (Using the cap value here instead was a
+                # measured f32 catastrophe: H += 2e5 * c_unit * G made every
+                # subproblem unsolvable and the f32 sweep diverged to NaN.)
+                c_aug = jnp.where(c_ok, c_aug, jnp.zeros_like(c_hi))
+                # Augmentation requires SOLVABLE subproblems: its multiplier
+                # reconstruction (lam' = lam_aug + c A_E d) amplifies the
+                # subproblem's dual error by c, so while the inner ADMM is
+                # iteration-capped (the f32 tight-eps regime) augmentation
+                # self-disables and the tau shift carries the convexification;
+                # it re-engages as soon as the member's subproblems converge
+                # again.
+                prev_capped = st.qp_ws.status == QPSolutionStatus.MaxIterations
+                c_aug = jnp.where(prev_capped, jnp.zeros_like(c_aug), c_aug)
                 H = H + c_aug * G
             # Convexify with a shifted-Cholesky trial loop (the role of
             # Ipopt's inertia correction, compat/ipopt.hpp:298-338 path): try
@@ -310,6 +358,22 @@ def _solve_nlp_sqp_impl(
         # undo the augmentation's known multiplier shift (lam' = lam - c A_E d)
         lam_qp = lam_qp + c_aug * eq_g * (J @ d)
         z_qp = z_qp + c_aug * eq_x * d
+        # The shift identity only holds at the subproblem's SOLUTION: with an
+        # unconverged ADMM iterate the dual error is amplified by c_aug, and
+        # |H| grows with |lam|, inflating next iteration's c — a measured f32
+        # runaway (lam 1e3 -> 1e14 -> NaN in 3 iterations when every inner QP
+        # hits its iteration cap).  An unconverged iterate is still a usable
+        # DESCENT DIRECTION, but under augmentation its dual is not a usable
+        # multiplier estimate — keep the previous multipliers then.
+        dual_ok = jnp.logical_or(
+            jnp.logical_or(
+                sol.status == QPSolutionStatus.Optimal,
+                sol.status == QPSolutionStatus.PolishFailed,
+            ),
+            c_aug <= 0.0,
+        )
+        lam_qp = jnp.where(dual_ok, lam_qp, lam)
+        z_qp = jnp.where(dual_ok, z_qp, st.z)
 
         # l1 merit line search on a fixed alpha grid
         mu = 2.0 * jnp.max(jnp.abs(lam_qp), initial=1.0) + 1.0
@@ -332,20 +396,39 @@ def _solve_nlp_sqp_impl(
         # approximate-descent remedy; in f64 the slack is ~1e-15 |phi| and
         # changes nothing.
         eps_m = 10.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(phi0))
-        armijo_ok = phis <= phi0 + params.armijo * alphas * dd + eps_m
+        # watchdog reference: max merit over the last M accepted iterates
+        # (see SQPParams.nonmonotone_M), recombined with the current mu
+        phi_ref = jnp.maximum(jnp.max(st.fh + mu * st.vh), phi0)
+        armijo_ok = phis <= phi_ref + params.armijo * alphas * dd + eps_m
         any_ok = jnp.any(armijo_ok)
         first_ok = jnp.argmax(armijo_ok)  # first True (alphas descending)
         best = jnp.argmin(phis)
         pick = jnp.where(any_ok, first_ok, best)
         alpha = jnp.where(
-            jnp.logical_and(qp_ok, jnp.logical_or(any_ok, phis[best] < phi0)),
+            jnp.logical_and(qp_ok, jnp.logical_or(any_ok, phis[best] < phi_ref)),
             alphas[pick],
             jnp.zeros((), dt),
         )
 
         x_new = x + alpha * d
-        lam_new = (1 - alpha) * lam + alpha * lam_qp
-        z_new = (1 - alpha) * st.z + alpha * z_qp
+        # Multiplier update: when the subproblem CONVERGED, take the full
+        # dual step (Han-Powell) regardless of the primal alpha — lam_qp is
+        # the valid multiplier estimate at x, and gating it by alpha was a
+        # measured f32 stall: near a solution the merit line search picks
+        # alpha ~ 1e-3 (the true decrease is below evaluation noise), the
+        # blend freezes lam, stationarity never drops, and reg escalation
+        # shrinks the steps further.  The alpha blend remains the damped
+        # fallback for unconverged (iteration-capped) subproblem duals.
+        dual_full = jnp.logical_or(
+            sol.status == QPSolutionStatus.Optimal,
+            sol.status == QPSolutionStatus.PolishFailed,
+        )
+        lam_new = jnp.where(
+            dual_full, lam_qp, (1 - alpha) * lam + alpha * lam_qp
+        )
+        z_new = jnp.where(
+            dual_full, z_qp, (1 - alpha) * st.z + alpha * z_qp
+        )
 
         # adapt regularization
         reg = jnp.where(
@@ -418,6 +501,10 @@ def _solve_nlp_sqp_impl(
             grad=grad_new,
             J=J_new,
             Hb=Hb,
+            fh=jnp.concatenate([st.fh[1:], f_new[None]]),
+            vh=jnp.concatenate(
+                [st.vh[1:], _violation(nlp, x_new, g_new)[None]]
+            ),
         )
 
     def cond(st: _State):
@@ -443,6 +530,12 @@ def _solve_nlp_sqp_impl(
         grad=grad_f(x0),
         J=jac_g(x0),
         Hb=eyeN,
+        fh=jnp.full((max(1, params.nonmonotone_M),), nlp.f(x0), dt),
+        vh=jnp.full(
+            (max(1, params.nonmonotone_M),),
+            _violation(nlp, x0, nlp.g(x0)),
+            dt,
+        ),
     )
     st = lax.while_loop(cond, body, st0)
 
@@ -540,9 +633,12 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         return vg + vx
 
     def kkt_residual_b(x, lam, z, gval, grad, J):
-        stat = jnp.max(
-            jnp.abs(grad + jnp.einsum("bmn,bm->bn", J, lam) + z), axis=1
-        )
+        if params.compensated_kkt:
+            stat = stationarity_compensated(grad, J, lam, z)
+        else:
+            stat = jnp.max(
+                jnp.abs(grad + jnp.einsum("bmn,bm->bn", J, lam) + z), axis=1
+            )
         vg = jnp.max(
             jnp.maximum(
                 jnp.maximum(0.0, gl - gval), jnp.maximum(0.0, gval - gu)
@@ -575,6 +671,8 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         grad: jax.Array  # (B, n)
         J: jax.Array  # (B, m, n)
         Hb: jax.Array  # (B, n, n) BFGS approximation (identity in exact mode)
+        fh: jax.Array  # (B, M) objective ring buffer (watchdog line search)
+        vh: jax.Array  # (B, M) violation ring buffer
 
     def _chol_ok_b(H, tau):
         L = jnp.linalg.cholesky(H + tau[:, None, None] * eyeN)
@@ -636,7 +734,12 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
                 _, c_aug = lax.fori_loop(
                     0, params.reg_bisect, _c_bis, (c_hi / 10.0, c_hi)
                 )
-                c_aug = jnp.where(c_ok, c_aug, c_hi)
+                # fall back to the tau shift when escalation never succeeded,
+                # and self-disable while the member's subproblems are
+                # iteration-capped (see the single-problem form)
+                c_aug = jnp.where(c_ok, c_aug, jnp.zeros_like(c_hi))
+                prev_capped = st.qp_ws.status == QPSolutionStatus.MaxIterations
+                c_aug = jnp.where(prev_capped, jnp.zeros_like(c_aug), c_aug)
                 H = H + c_aug[:, None, None] * G
             # per-element shifted-Cholesky convexification (cf. the single-
             # problem form above): escalate tau x10 until chol succeeds, then
@@ -701,6 +804,17 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         # undo the augmentation's known multiplier shift (lam' = lam - c A_E d)
         lam_qp = lam_qp + c_aug[:, None] * eq_g * jnp.einsum("bmn,bn->bm", J, d)
         z_qp = z_qp + c_aug[:, None] * eq_x * d
+        # unconverged subproblem + augmentation -> dual estimate amplified by
+        # c_aug is garbage; keep the previous multipliers (see single form)
+        dual_ok = jnp.logical_or(
+            jnp.logical_or(
+                sol.status == QPSolutionStatus.Optimal,
+                sol.status == QPSolutionStatus.PolishFailed,
+            ),
+            c_aug <= 0.0,
+        )
+        lam_qp = jnp.where(dual_ok[:, None], lam_qp, lam)
+        z_qp = jnp.where(dual_ok[:, None], z_qp, st.z)
 
         # l1 merit line search on the shared alpha grid, per element
         mu = 2.0 * jnp.max(jnp.abs(lam_qp), axis=1, initial=1.0) + 1.0
@@ -715,21 +829,37 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         phis = jax.vmap(merit)(alphas)  # (L, B)
         phis = jnp.where(jnp.isfinite(phis), phis, inf)
         eps_m = 10.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(phi0))
-        armijo_ok = phis <= phi0 + params.armijo * alphas[:, None] * dd + eps_m
+        # watchdog reference merit (cf. single form)
+        phi_ref = jnp.maximum(
+            jnp.max(st.fh + mu[:, None] * st.vh, axis=1), phi0
+        )
+        armijo_ok = (
+            phis <= phi_ref + params.armijo * alphas[:, None] * dd + eps_m
+        )
         any_ok = jnp.any(armijo_ok, axis=0)
         first_ok = jnp.argmax(armijo_ok, axis=0)
         best = jnp.argmin(phis, axis=0)
         pick = jnp.where(any_ok, first_ok, best)
         phi_best = jnp.take_along_axis(phis, best[None, :], axis=0)[0]
         alpha = jnp.where(
-            jnp.logical_and(qp_ok, jnp.logical_or(any_ok, phi_best < phi0)),
+            jnp.logical_and(qp_ok, jnp.logical_or(any_ok, phi_best < phi_ref)),
             alphas[pick],
             jnp.zeros((B,), dt),
         )
 
         x_new = x + alpha[:, None] * d
-        lam_new = (1 - alpha[:, None]) * lam + alpha[:, None] * lam_qp
-        z_new = (1 - alpha[:, None]) * st.z + alpha[:, None] * z_qp
+        # full dual step for converged subproblems (Han-Powell; see the
+        # single-problem form for the measured f32 stall this fixes)
+        dual_full = jnp.logical_or(
+            sol.status == QPSolutionStatus.Optimal,
+            sol.status == QPSolutionStatus.PolishFailed,
+        )[:, None]
+        lam_new = jnp.where(
+            dual_full, lam_qp, (1 - alpha[:, None]) * lam + alpha[:, None] * lam_qp
+        )
+        z_new = jnp.where(
+            dual_full, z_qp, (1 - alpha[:, None]) * st.z + alpha[:, None] * z_qp
+        )
 
         reg = jnp.where(
             alpha >= 0.5,
@@ -778,10 +908,14 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         if params.verbose:
             jax.debug.print(
                 "[sqp/batch] it {i}: running {r}/{b} kkt med {km:.3e} "
-                "max {kx:.3e} qp_iters max {q}",
+                "max {kx:.3e} qp_iters max {q} qp_st max {qs} "
+                "c_aug max {c:.2e} tau max {t:.2e} alpha med {a:.3f} "
+                "|lam_qp| max {l:.2e} |d| max {dn:.2e}",
                 i=st.it, r=jnp.sum(run), b=B,
                 km=jnp.median(kkt), kx=jnp.max(kkt),
-                q=jnp.max(sol.iters),
+                q=jnp.max(sol.iters), qs=jnp.max(sol.status),
+                c=jnp.max(c_aug), t=jnp.max(tau), a=jnp.median(alpha),
+                l=jnp.max(jnp.abs(lam_qp)), dn=jnp.max(jnp.abs(d)),
             )
 
         # freeze converged elements (mask-and-continue, cf. the QP solver)
@@ -811,6 +945,19 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
             grad=jnp.where(runc, grad_new, st.grad),
             J=jnp.where(runm, J_new, st.J),
             Hb=jnp.where(runm, Hb, st.Hb),
+            fh=jnp.where(
+                runc,
+                jnp.concatenate([st.fh[:, 1:], f_new[:, None]], axis=1),
+                st.fh,
+            ),
+            vh=jnp.where(
+                runc,
+                jnp.concatenate(
+                    [st.vh[:, 1:], _violation_b(x_new, g_new)[:, None]],
+                    axis=1,
+                ),
+                st.vh,
+            ),
         )
 
     def cond(st: _BState):
@@ -839,6 +986,13 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         grad=gradB(thetas, x0),
         J=JB(thetas, x0),
         Hb=eyeN_b,
+        fh=jnp.tile(
+            fB(thetas, x0)[:, None], (1, max(1, params.nonmonotone_M))
+        ),
+        vh=jnp.tile(
+            _violation_b(x0, gB(thetas, x0))[:, None],
+            (1, max(1, params.nonmonotone_M)),
+        ),
     )
     st = lax.while_loop(cond, body, st0)
 

@@ -777,13 +777,22 @@ def test_lane_backend_with_precomputed_factors():
     )
 
 
-def test_lane_backend_rejects_large_n():
-    B, n, m = 2, 40, 10
+@pytest.mark.parametrize("n,m", [(40, 10), (48, 60), (64, 64)])
+def test_lane_backend_midsize_parity(n, m):
+    """32 < n engages the lane backend's batch-leading MXU factorization
+    (einsum + batched Cholesky instead of the unrolled chol_lane); statuses,
+    iteration counts, and primals must match the xla backend exactly."""
+    B = 4
     keys = jax.random.split(jax.random.PRNGKey(8), B)
     qps = jax.vmap(lambda k: random_qp(k, n=n, m=m))(keys)
-    _, prm_l = _lane_prm(polish=False)
-    with pytest.raises(ValueError, match="lane"):
-        solve_qp_batch(qps, prm_l)
+    prm_x, prm_l = _lane_prm(polish=True)
+    sx = solve_qp_batch(qps, prm_x)
+    sl = solve_qp_batch(qps, prm_l)
+    np.testing.assert_array_equal(np.asarray(sx.status), np.asarray(sl.status))
+    np.testing.assert_array_equal(np.asarray(sx.iters), np.asarray(sl.iters))
+    np.testing.assert_allclose(
+        np.asarray(sx.primal), np.asarray(sl.primal), atol=1e-10
+    )
 
 
 def test_lane_backend_f32_kkt():
