@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..nlp import NLP, NLPSolution, NLPSolutionStatus
+from ..nlp import NLP, HessianNLP, NLPSolution, NLPSolutionStatus
 
 
 def ipopt_available() -> bool:
@@ -21,12 +21,26 @@ def ipopt_available() -> bool:
         return False
 
 
-def solve_nlp_ipopt(nlp: NLP, x0, options: dict | None = None) -> NLPSolution:
-    """Solve an NLP with Ipopt, jax-provided first derivatives and an L-BFGS
-    Hessian (the reference example configuration, ocp_se2_nlp.cpp:60-66)."""
+def solve_nlp_ipopt(
+    nlp: NLP | HessianNLP, x0, options: dict | None = None
+) -> NLPSolution:
+    """Solve an NLP with Ipopt and jax-provided derivatives.
+
+    Passing a plain :class:`NLP` uses first derivatives + Ipopt's L-BFGS
+    Hessian (the reference example configuration, ocp_se2_nlp.cpp:60-66).
+    Passing a :class:`HessianNLP` (see :func:`smooth_feedback_tpu.nlp.with_hessians`)
+    additionally registers the exact Lagrangian Hessian
+    ``obj_factor * d2f_dx2(x) + d2g_dx2(x, lam)`` — the reference's
+    HessianNLP -> Ipopt eval_h path (compat/ipopt.hpp:206-213), dense
+    lower-triangle structure.
+    """
     import cyipopt
     import jax
     import jax.numpy as jnp
+
+    hess_nlp = nlp if isinstance(nlp, HessianNLP) else None
+    if hess_nlp is not None:
+        nlp = hess_nlp.nlp
 
     f = jax.jit(nlp.f)
     grad = jax.jit(jax.grad(nlp.f))
@@ -46,16 +60,35 @@ def solve_nlp_ipopt(nlp: NLP, x0, options: dict | None = None) -> NLPSolution:
         def jacobian(self, x):
             return np.asarray(jac(jnp.asarray(x))).ravel()
 
+    if hess_nlp is not None:
+        hf = jax.jit(hess_nlp.d2f_dx2)
+        hg = jax.jit(hess_nlp.d2g_dx2)
+        tril = np.tril_indices(nlp.n)
+
+        class _HessianProblem(_Problem):
+            def hessianstructure(self):
+                return tril
+
+            def hessian(self, x, lam, obj_factor):
+                x = jnp.asarray(x)
+                H = obj_factor * hf(x) + hg(x, jnp.asarray(lam))
+                return np.asarray(H)[tril]
+
+        problem_obj = _HessianProblem()
+    else:
+        problem_obj = _Problem()
+
     problem = cyipopt.Problem(
         n=nlp.n,
         m=nlp.m,
-        problem_obj=_Problem(),
+        problem_obj=problem_obj,
         lb=np.clip(np.asarray(nlp.xl), -2e19, 2e19),
         ub=np.clip(np.asarray(nlp.xu), -2e19, 2e19),
         cl=np.clip(np.asarray(nlp.gl), -2e19, 2e19),
         cu=np.clip(np.asarray(nlp.gu), -2e19, 2e19),
     )
-    problem.add_option("hessian_approximation", "limited-memory")
+    if hess_nlp is None:
+        problem.add_option("hessian_approximation", "limited-memory")
     for k, v in (options or {}).items():
         problem.add_option(k, v)
 

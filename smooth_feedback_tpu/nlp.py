@@ -37,6 +37,40 @@ class NLP(NamedTuple):
     gu: jax.Array  # (m,) constraint upper bounds
 
 
+class HessianNLP(NamedTuple):
+    """NLP with explicit second-order callables (cf. reference HessianNLP
+    concept, nlp.hpp:57-64: ``d2f_dx2(x)`` and the multiplier-contracted
+    ``d2g_dx2(x, lambda)``).
+
+    The native SQP never needs this type — it differentiates ``NLP``
+    callables with jax autodiff internally — but external solvers speak
+    explicit-derivative interfaces (Ipopt's eval_h), so this is the surface
+    the compat bridges consume for exact second-order mode.  Build one from
+    a plain ``NLP`` with :func:`with_hessians`.
+    """
+
+    nlp: "NLP"
+    d2f_dx2: Callable  # (n,) -> (n, n)
+    d2g_dx2: Callable  # ((n,), (m,)) -> (n, n)   sum_i lam_i * H(g_i)(x)
+
+
+def with_hessians(nlp: NLP) -> HessianNLP:
+    """Fill a :class:`HessianNLP` from a plain :class:`NLP` by autodiff.
+
+    ``d2g_dx2`` contracts the multipliers BEFORE differentiating (Hessian of
+    ``lam . g``), so no (m, n, n) third-order tensor is ever materialized —
+    the jax analog of the reference's sparse accumulation
+    (ocp_to_nlp.hpp d2g_dx2 assembly).
+    """
+    import jax
+
+    return HessianNLP(
+        nlp=nlp,
+        d2f_dx2=jax.hessian(nlp.f),
+        d2g_dx2=jax.hessian(lambda x, lam: lam @ nlp.g(x), argnums=0),
+    )
+
+
 class NLPSolutionStatus(enum.IntEnum):
     """cf. reference NLPSolution::Status (nlp.hpp:71-82)."""
 

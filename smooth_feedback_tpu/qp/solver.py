@@ -122,13 +122,24 @@ def _stopping_check(prm, P, q, A, l, u, x_us, y_us, z_us, dx_us, dy_us):
     )
 
     # --- optimality
-    Ax = jnp.einsum("bmn,bn->bm", A, x_us)
-    pres = _norm_inf(Ax - z_us)
+    if prm.compensated_check:
+        # two-float accumulation removes the ~eps * |P||x| * sqrt(n)
+        # evaluation floor on the residuals (see QPSolverParams docstring)
+        Ax, Ax_lo = cmatvec(A, x_us)
+        s, e = two_sum(Ax, -z_us)
+        pres = _norm_inf(s + (e + Ax_lo))
+        Px, Px_lo = cmatvec(P, x_us)
+        Aty, Aty_lo = cdot(A, y_us[:, :, None], axis=1)
+        s, e = two_sum(Px, Aty)
+        s2, e2 = two_sum(s, q)
+        dres = _norm_inf(s2 + (e2 + e + Px_lo + Aty_lo))
+    else:
+        Ax = jnp.einsum("bmn,bn->bm", A, x_us)
+        pres = _norm_inf(Ax - z_us)
+        Px = jnp.einsum("bnk,bk->bn", P, x_us)
+        Aty = jnp.einsum("bmn,bm->bn", A, y_us)
+        dres = _norm_inf(Px + q + Aty)
     prim_ok = pres <= eps_abs + eps_rel * jnp.maximum(_norm_inf(Ax), _norm_inf(z_us))
-
-    Px = jnp.einsum("bnk,bk->bn", P, x_us)
-    Aty = jnp.einsum("bmn,bm->bn", A, y_us)
-    dres = _norm_inf(Px + q + Aty)
     dscale = jnp.maximum(_norm_inf(Px), jnp.maximum(_norm_inf(q), _norm_inf(Aty)))
     dual_ok = dres <= eps_abs + eps_rel * dscale
 
@@ -554,14 +565,24 @@ def _stopping_check_lane(prm, Pt, qt, At, lt, ut, x_us, y_us, z_us, dx_us, dy_us
         )
     )
 
-    Ax = A_mv(x_us)
-    pres = ninf(Ax - z_us)
+    if prm.compensated_check:
+        # trailing-layout compensated residuals (cf. _stopping_check)
+        Ax, Ax_lo = cdot(At, x_us[None, :, :], axis=1)  # (m, B)
+        s, e = two_sum(Ax, -z_us)
+        pres = ninf(s + (e + Ax_lo))
+        Px, Px_lo = cdot(Pt, x_us[None, :, :], axis=1)  # (n, B)
+        Aty, Aty_lo = cdot(At, y_us[:, None, :], axis=0)  # (n, B)
+        s, e = two_sum(Px, Aty)
+        s2, e2 = two_sum(s, qt)
+        dres = ninf(s2 + (e2 + e + Px_lo + Aty_lo))
+    else:
+        Ax = A_mv(x_us)
+        pres = ninf(Ax - z_us)
+        Px = mv_lane(Pt, x_us)
+        Aty = AT_mv(y_us)
+        dres = ninf(Px + qt + Aty)
     pscale = jnp.maximum(ninf(Ax), ninf(z_us))
     prim_ok = pres <= eps_abs + eps_rel * pscale
-
-    Px = mv_lane(Pt, x_us)
-    Aty = AT_mv(y_us)
-    dres = ninf(Px + qt + Aty)
     dscale = jnp.maximum(ninf(Px), jnp.maximum(ninf(qt), ninf(Aty)))
     dual_ok = dres <= eps_abs + eps_rel * dscale
 
@@ -1132,12 +1153,62 @@ def _solve_qp_batch_impl(qp, prm, warmstart, factors=None):
     return _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres)
 
 
+def _certify_point(prm, P, q, A, l, u, primal, dual):
+    """Compensated KKT certificate at an arbitrary UNSCALED (primal, dual)
+    point (utils/compensated.py error-free transforms).
+
+    Used on the polished point: primal feasibility is the distance of
+    ``A @ x`` to ``[l, u]`` (there is no splitting iterate ``z`` after
+    polish) and dual stationarity is ``|P x + q + A' y|_inf``; compensated
+    accumulation keeps f32 evaluation noise from flooring the certificate.
+    Returns ``(pres, dres, passed)``."""
+    dt = P.dtype
+    eps_abs = jnp.asarray(prm.eps_abs, dt)
+    eps_rel = jnp.asarray(prm.eps_rel, dt)
+    Ax, Ax_lo = cmatvec(A, primal)
+    z = jnp.clip(Ax + Ax_lo, l, u)
+    s, e = two_sum(Ax, -z)
+    pres = _norm_inf(s + (e + Ax_lo))
+    Px, Px_lo = cmatvec(P, primal)
+    Aty, Aty_lo = cdot(A, dual[:, :, None], axis=1)
+    s, e = two_sum(Px, Aty)
+    s2, e2 = two_sum(s, q)
+    dres = _norm_inf(s2 + (e2 + e + Px_lo + Aty_lo))
+    prim_ok = pres <= eps_abs + eps_rel * jnp.maximum(_norm_inf(Ax), _norm_inf(z))
+    dual_ok = dres <= eps_abs + eps_rel * jnp.maximum(
+        _norm_inf(Px), jnp.maximum(_norm_inf(q), _norm_inf(Aty))
+    )
+    finite = jnp.logical_and(
+        jnp.isfinite(primal).all(axis=1), jnp.isfinite(dual).all(axis=1)
+    )
+    return pres, dres, jnp.logical_and(finite, jnp.logical_and(prim_ok, dual_ok))
+
+
 def _finalize_solution(prm, P, q, A, l, u, c, sx, sy, x, y, status, iters, pres, dres):
-    # ---- polish (only Optimal elements take the polished values)
+    # ---- polish (only Optimal elements take the polished values; under
+    # compensated_check, iteration-capped members are candidates too: the f32
+    # ADMM iterate can stall ABOVE a tight eps_abs while the polished
+    # active-set point — whose refinement is compensated — satisfies it, so
+    # the compensated certificate at the polished point upgrades MaxIterations
+    # to Optimal when it truly passes.  See QPSolverParams.compensated_check.)
     if prm.polish:
         x_pol, y_pol, ok = _polish(prm, P, q, A, l, u, c, sx, sy, x, y)
         is_opt = status == _OPTIMAL
         use = jnp.logical_and(is_opt, ok)
+        if prm.compensated_check:
+            primal_pol = sx * x_pol
+            dual_pol = sy * y_pol / c[:, None]
+            pres_p, dres_p, pass_p = _certify_point(
+                prm, P, q, A, l, u, primal_pol, dual_pol
+            )
+            upgrade = jnp.logical_and(
+                status == _MAX_ITER, jnp.logical_and(ok, pass_p)
+            )
+            use = jnp.logical_or(use, upgrade)
+            status = jnp.where(upgrade, _OPTIMAL, status)
+            # report the residuals actually measured at the adopted point
+            pres = jnp.where(use, pres_p, pres)
+            dres = jnp.where(use, dres_p, dres)
         x = jnp.where(use[:, None], x_pol, x)
         y = jnp.where(use[:, None], y_pol, y)
         status = jnp.where(

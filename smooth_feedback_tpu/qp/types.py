@@ -122,6 +122,22 @@ class QPSolverParams:
     # from hundreds of iterations into tens.
     adaptive_rho: bool = False
     adaptive_rho_tol: float = 5.0
+    # Compensated (two-float) evaluation of the optimality residuals in the
+    # stopping check (utils/compensated.py).  Plain-f32 residual evaluation
+    # carries ~eps * |P||x| * sqrt(n) accumulation noise (~1e-5 at n = 64),
+    # which FLOORS the measurable dual residual: iterates that have truly
+    # converged below eps_abs = 1e-6 still report MaxIterations.  Compensated
+    # accumulation removes the evaluation floor at a few-x cost paid only
+    # every stop_check_iter iterations ("xla" and "lane" backends; the fused
+    # Pallas kernel keeps plain in-loop checks — use the SQP-level
+    # compensated_kkt certificate there).  With polish=True it additionally
+    # re-certifies the polished point (whose iterative refinement is
+    # compensated unconditionally) and upgrades MaxIterations members whose
+    # polished KKT point truly passes — this is how f32 solves certify below
+    # the ADMM iterate's own ~2e-5 stall floor.  The reported primal_res /
+    # dual_res of polished members are re-measured at the returned point.
+    # No reference analog (f64-only solver).
+    compensated_check: bool = False
     # Print batch residual summaries at every stopping check (the analog of
     # the reference's verbose iteration rows, qp_solver.hpp:409-419); uses
     # jax.debug.print, xla and lane backends (CPU-only under the axon plugin).

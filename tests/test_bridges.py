@@ -188,6 +188,14 @@ class _FakeIpoptProblem:
         assert gv.shape == (self.n,)
         assert cv.shape == (self.m,)
         assert jv.shape == (self.m * self.n,)
+        # exact-Hessian mode: drive eval_h the way Ipopt would
+        self.hessian_seen = None
+        if hasattr(self.obj, "hessian"):
+            rows, cols = self.obj.hessianstructure()
+            assert np.all(rows >= cols)  # lower triangle
+            hv = self.obj.hessian(x0, np.full(self.m, 3.0), 0.5)
+            assert hv.shape == rows.shape
+            self.hessian_seen = (rows, cols, hv)
         info = {
             "status": self.ipopt_status,
             "obj_val": float(fv),
@@ -237,6 +245,47 @@ def test_ipopt_bridge_mapping(fake_cyipopt):
     # lambda sign flip: lam = -mult_g (Ipopt convention differs)
     np.testing.assert_allclose(sol.lam, [-2.0])
     np.testing.assert_allclose(sol.objective, 0.5)  # f at x0=(0.5,0.5)
+
+
+def test_ipopt_bridge_exact_hessian(fake_cyipopt):
+    """HessianNLP routes the exact Lagrangian Hessian to eval_h (reference
+    compat/ipopt.hpp:206-213) and drops the L-BFGS approximation option."""
+    from smooth_feedback_tpu.compat.ipopt_bridge import solve_nlp_ipopt
+    from smooth_feedback_tpu.nlp import with_hessians
+
+    nlp = _small_nlp()
+    sol = solve_nlp_ipopt(with_hessians(nlp), np.array([0.5, 0.5]))
+    assert int(sol.status) == NLPSolutionStatus.Optimal
+
+    p = _FakeIpoptProblem.last
+    assert "hessian_approximation" not in p.options
+    rows, cols, hv = p.hessian_seen
+    # analytic: obj_factor * H(f) + lam0 * H(g0) with H(f) = 2 I, H(g0) = 0;
+    # the fake drives obj_factor = 0.5, lam = [3.0]
+    H = np.zeros((2, 2))
+    H[rows, cols] = hv
+    np.testing.assert_allclose(H, 0.5 * 2.0 * np.eye(2), atol=1e-12)
+
+
+def test_with_hessians_contracted_constraint_hessian():
+    """d2g_dx2 contracts multipliers before differentiating: matches the
+    analytic Hessian of lam . g on a curved constraint."""
+    from smooth_feedback_tpu.nlp import NLP, with_hessians
+
+    nlp = NLP(
+        n=2, m=2,
+        f=lambda x: x @ x,
+        g=lambda x: jnp.asarray([x[0] * x[1], x[0] ** 3]),
+        xl=jnp.asarray([-jnp.inf] * 2), xu=jnp.asarray([jnp.inf] * 2),
+        gl=jnp.asarray([0.0, 0.0]), gu=jnp.asarray([1.0, 1.0]),
+    )
+    h = with_hessians(nlp)
+    x = jnp.asarray([0.7, -1.3])
+    lam = jnp.asarray([2.0, -0.5])
+    np.testing.assert_allclose(h.d2f_dx2(x), 2.0 * np.eye(2), atol=1e-12)
+    # H(lam0 x0 x1 + lam1 x0^3) = [[6 lam1 x0, lam0], [lam0, 0]]
+    expect = np.array([[6 * (-0.5) * 0.7, 2.0], [2.0, 0.0]])
+    np.testing.assert_allclose(h.d2g_dx2(x, lam), expect, atol=1e-12)
 
 
 @pytest.mark.parametrize(

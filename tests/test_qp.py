@@ -808,6 +808,56 @@ def test_lane_backend_f32_kkt():
     assert float(pfeas.max()) < 5e-4
 
 
+@pytest.mark.parametrize("backend", ["xla", "lane"])
+def test_compensated_check_lifts_f32_dual_floor(backend):
+    """At n = 64 and a tight eps_abs, f32 ADMM floors: accumulation noise in
+    the residual evaluation (~eps * sqrt(n) * |Px| ~ 1e-5) plus iterate-level
+    stalling keep the measured dual residual above eps_abs, so the plain
+    solve reports MaxIterations.  With compensated_check the solver (a)
+    evaluates residuals with error-free transforms and (b) re-certifies the
+    compensated-refinement polished point, upgrading iteration-capped members
+    whose polished KKT point truly passes.  The reported residuals must match
+    an f64 re-evaluation of the returned iterate."""
+    import dataclasses
+
+    B, n, m = 8, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    M = jax.random.normal(ks[0], (B, n, n), jnp.float32)
+    P = jnp.einsum("bij,bkj->bik", M, M) / n + 0.1 * jnp.eye(n, dtype=jnp.float32)
+    q = jax.random.normal(ks[1], (B, n), jnp.float32)
+    A = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (B, m, n))
+    beq = (0.1 * jax.random.normal(ks[2], (B, m))).astype(jnp.float32)
+    qp = QuadraticProgram(P=P, q=q, A=A, l=beq, u=beq)
+
+    prm = QPSolverParams(
+        max_iter=20000, polish=False, eps_abs=2e-6, eps_rel=0.0,
+        backend=backend,
+    )
+    sol_plain = solve_qp_batch(qp, prm)
+    sol_comp = solve_qp_batch(
+        qp, dataclasses.replace(prm, compensated_check=True, polish=True)
+    )
+
+    # plain f32 check floors above eps_abs on at least some members;
+    # compensated certifies every member
+    assert np.all(np.asarray(sol_comp.status) == QPSolutionStatus.Optimal)
+    assert np.any(np.asarray(sol_plain.status) == QPSolutionStatus.MaxIterations)
+
+    # the compensated-reported dual residual is truthful: f64 re-evaluation
+    # of the returned iterate agrees within a few f32 ulps of the data
+    P64, q64, A64 = (np.asarray(v, np.float64) for v in (P, q, A))
+    x64 = np.asarray(sol_comp.primal, np.float64)
+    y64 = np.asarray(sol_comp.dual, np.float64)
+    dres64 = np.abs(
+        np.einsum("bij,bj->bi", P64, x64) + q64
+        + np.einsum("bmn,bm->bn", A64, y64)
+    ).max(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(sol_comp.dual_res), dres64, atol=5e-7, rtol=1e-3
+    )
+    assert np.all(dres64 <= 2e-6)
+
+
 def test_lane_adaptive_rho():
     """adaptive_rho (lane backend) reaches the same solutions, faster on
     residual-imbalanced problems, and leaves certificates intact."""
