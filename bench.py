@@ -238,6 +238,9 @@ if __name__ == "__main__":
         K = int(args[0])
     if len(args) > 1:
         B = int(args[1])
+    from smooth_feedback_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # timing warms up separately; this cuts cold-start
     if not _preflight():
         print(
             json.dumps(

@@ -110,4 +110,7 @@ def main(steps: int = 800, K_mpc: int = 30, K_asif: int = 50):
 
 
 if __name__ == "__main__":
+    from smooth_feedback_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # examples are compile-heavy; cache across runs
     main()

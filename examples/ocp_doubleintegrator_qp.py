@@ -58,4 +58,7 @@ def main(n_ival: int = 10):
 
 
 if __name__ == "__main__":
+    from smooth_feedback_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # examples are compile-heavy; cache across runs
     main()

@@ -91,4 +91,7 @@ def main(target_err: float = 1e-6, max_refine_iter: int = 10):
 
 
 if __name__ == "__main__":
+    from smooth_feedback_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # examples are compile-heavy; cache across runs
     main()

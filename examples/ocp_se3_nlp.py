@@ -105,4 +105,7 @@ def main(target_err: float = 1e-4, max_refine_iter: int = 6, B: int = 8):
 
 
 if __name__ == "__main__":
+    from smooth_feedback_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # examples are compile-heavy; cache across runs
     main()

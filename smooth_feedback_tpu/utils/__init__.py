@@ -1,11 +1,13 @@
 """Utilities: bounds sets, Lie-group splines, derivative helpers."""
 
 from .bounds import ManifoldBounds, box_bounds, empty_bounds
+from .cache import enable_compilation_cache
 from .linalg import d2r_fog
 from .spline import LieSpline, fit_spline, spline_eval, spline_pos
 
 __all__ = [
     "ManifoldBounds",
+    "enable_compilation_cache",
     "box_bounds",
     "empty_bounds",
     "LieSpline",

@@ -21,10 +21,12 @@ SMOKE_KWARGS = {
     "mpc_asif_vehicle": dict(steps=3, K_mpc=8, K_asif=10),
     "mpc_doubleintegrator": dict(steps=30),
     "mpc_se3_rigidbody": dict(steps=40),
+    "ocp_doubleintegrator_nlp": dict(target_err=1e-2, max_refine_iter=1),
     "ocp_doubleintegrator_qp": dict(n_ival=3),
     "ocp_se2_nlp": dict(target_err=1e-2, max_refine_iter=1),
     "ocp_se3_nlp": dict(target_err=1e-2, max_refine_iter=1, B=2),
     "ocp_se2_qp": dict(n_ival=2),
+    "output_feedback_vehicle": dict(steps=60, K_mpc=8, K_asif=10),
     "pid_se2": dict(steps=60),
 }
 
