@@ -32,6 +32,9 @@ from smooth_feedback_tpu.controllers.asif import (
 from smooth_feedback_tpu.groups import SE2, Bundle, Rn
 from smooth_feedback_tpu.qp import QPSolverParams
 from smooth_feedback_tpu.utils.bounds import ManifoldBounds
+from smooth_feedback_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # identical re-runs skip the TPU compile
 
 X = Bundle(SE2, Rn(3))
 U = Rn(2)

@@ -34,6 +34,9 @@ from smooth_feedback_tpu.estimators import (
     sqrt_ekf_fleet_update,
 )
 from smooth_feedback_tpu.groups import SE2, SO3
+from smooth_feedback_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # identical re-runs skip the TPU compile
 
 
 def _problem(G, B):

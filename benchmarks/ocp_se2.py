@@ -26,6 +26,20 @@ import time
 
 TPU = "--tpu" in sys.argv
 VMAP = "--vmap" in sys.argv  # measure the vmapped solver for comparison
+# Inner-QP iteration backend for the TPU protocol (A/B knob): "xla" streams
+# the (B, n, n) stacks from HBM each ADMM iteration; "pallas" pins each
+# problem's matrices in VMEM across the whole iteration.
+BACKEND = next(
+    (a.split("=", 1)[1] for a in sys.argv if a.startswith("--backend=")), "xla"
+)
+# Inner-ADMM iteration cap (TPU protocol A/B knob).  In f32 the ADMM iterate
+# stalls at ~2e-5 well before eps=1e-6, so every subproblem runs to this cap
+# regardless; certification comes from the compensated polish re-check.  The
+# cap therefore sets the throughput almost directly — the knob measures how
+# far it can drop before subproblem (hence dual) quality degrades.
+QPCAP = int(
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--qpcap=")), 1200)
+)
 
 import jax
 
@@ -41,6 +55,9 @@ from smooth_feedback_tpu.ocp import OCP, flatten_ocp, nlp_initial_guess, ocp_to_
 from smooth_feedback_tpu.ocp.collocation import Mesh
 from smooth_feedback_tpu.qp import QPSolverParams
 from smooth_feedback_tpu.solvers import SQPParams, solve_nlp_sqp_batch
+from smooth_feedback_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # identical re-runs skip the ~9 min TPU compile
 
 X = Bundle(SE2, Rn(2))
 U = Rn(2)
@@ -109,8 +126,14 @@ def main(B=None):
         prm = SQPParams(
             max_iter=60, tol=1e-4, compensated_kkt=True,
             qp=QPSolverParams(
-                eps_abs=1e-6, eps_rel=1e-6, max_iter=1200, polish=True,
-                kkt_refine_iters=1,
+                eps_abs=1e-6, eps_rel=1e-6, max_iter=QPCAP, polish=True,
+                kkt_refine_iters=1, backend=BACKEND,
+                # plain-f32 stopping checks FLOOR the measurable dual
+                # residual at ~1e-5 (> eps_abs), so without this every
+                # subproblem runs to the 1200-iteration cap: measured
+                # p50 ~1071 inner iterations per SQP step at B=64.  The
+                # compensated check certifies true 1e-6 exits instead.
+                compensated_check=True,
                 # adaptive_rho measured 2.3x SLOWER here on TPU (12.6 vs
                 # 29.0 solves/s): each stopping-check refactorization is a
                 # fresh Cholesky while the straggler iterations it saves are
@@ -192,9 +215,38 @@ def main(B=None):
         "max_kkt": float(f"{np.max(kkt):.2e}"),
         "compile_s": round(t_compile, 1),
         "solver": "vmapped" if VMAP else "batched",
+        "backend": BACKEND,
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(out))
+
+    if "--hist" in sys.argv:
+        # host-side straggler anatomy: percentiles + the worst members
+        q = [50, 90, 99, 100]
+        print("pct     iters  qp_iters       kkt")
+        for p in q:
+            print(
+                f"p{p:<5} {np.percentile(it, p):6.0f} "
+                f"{np.percentile(qpi, p):9.0f} {np.percentile(kkt, p):9.2e}"
+            )
+        worst = np.argsort(kkt)[-5:][::-1]
+        for w in worst:
+            print(
+                f"member {w}: status {st[w]} iters {it[w]} "
+                f"qp_iters {qpi[w]} kkt {kkt[w]:.2e}"
+            )
+
+    if "--record" in sys.argv:
+        # checked-in machine artifact (cf. benchmarks/BENCH_SWEEP.json): one
+        # entry per (batch, solver, backend, device) config, newest wins
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "OCP_SWEEP.json")
+        rows = json.load(open(path)) if os.path.exists(path) else []
+        key = lambda r: (r["batch"], r["solver"], r["backend"], r["device"])
+        rows = [r for r in rows if key(r) != key(out)] + [out]
+        rows.sort(key=key)
+        json.dump(rows, open(path, "w"), indent=1)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,9 @@ from smooth_feedback_tpu.qp import (
     solve_qp,
     solve_qp_batch,
 )
+from smooth_feedback_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # identical re-runs skip the TPU compile
 
 
 def parity_sweep():

@@ -18,6 +18,9 @@ import numpy as np
 from smooth_feedback_tpu.ocp.nlp import NLP, NLPSolutionStatus
 from smooth_feedback_tpu.solvers import SQPParams, solve_nlp_sqp
 from smooth_feedback_tpu.qp import QPSolverParams
+from smooth_feedback_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # identical re-runs skip the TPU compile
 
 
 def make_nlp(n, dtype=jnp.float64):
