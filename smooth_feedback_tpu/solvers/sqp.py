@@ -699,7 +699,13 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
                     * (1.0 + jnp.max(jnp.abs(H), axis=(1, 2)))
                     / (1.0 + gmax)
                 )
-                c_cap = 1e12 * c_unit
+                # dtype-aware escalation cap, same rule as the single-problem
+                # form above: past cond(H + cG) ~ eps^-0.75 the Cholesky test
+                # fails from ROUNDOFF, not indefiniteness, and in f32 the old
+                # 1e12 cap let the escalation loop spin ~17 futile x10 rounds
+                # of batched Choleskys per SQP iteration before the c_ok
+                # gating discarded the result anyway.
+                c_cap = c_unit / jnp.finfo(dt).eps ** 0.75
                 c0 = jnp.clip(st.caug / 10.0, c_unit, c_cap)
 
                 def _ok_c_b(c):
