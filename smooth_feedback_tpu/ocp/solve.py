@@ -17,7 +17,12 @@ from typing import Callable, List, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..solvers.sqp import SQPParams, solve_nlp_sqp, solve_nlp_sqp_batch
+from ..solvers.sqp import (
+    SQPParams,
+    rescue_nonoptimal,
+    solve_nlp_sqp,
+    solve_nlp_sqp_batch,
+)
 from .collocation.functions import mesh_dyn_error
 from .collocation.mesh import Mesh
 from .nlp import NLPSolution, NLPSolutionStatus
@@ -42,6 +47,12 @@ class SolveOCPParams:
     # mesh around an unconverged solution (reference examples log-and-stop,
     # examples/ocp_se2_nlp.cpp:47-91).
     fail_fast: bool = True
+    # Fleet driver only: before fail_fast triggers, re-solve non-Optimal
+    # members solo with boosted budgets (solvers.sqp.rescue_nonoptimal) —
+    # the lockstep fleet gives everyone the same budget, so the rare member
+    # that exhausts it gets the reference's keep-iterating treatment
+    # (examples/ocp_se2_nlp.cpp:47-91) instead of abandoning the tail.
+    rescue: bool = True
 
 
 class SolveOCPInfo(NamedTuple):
@@ -179,6 +190,7 @@ class SolveOCPBatchInfo(NamedTuple):
     nlp_iters: List[jax.Array]  # per refinement pass: (B,) SQP iterations
     errors: List[float]  # per pass: max dynamics error across the fleet
     statuses: jax.Array  # (B,) final NLPSolutionStatus values
+    rescued: List[int] = []  # per pass: members re-solved solo (rescue=True)
 
 
 class _BatchSolveCache:
@@ -261,20 +273,25 @@ def solve_ocp_flat_batch(
         flat0.U,
     )
 
-    meshes, iters, errors = [], [], []
+    meshes, iters, errors, rescued = [], [], [], []
     statuses = jnp.full((B,), int(NLPSolutionStatus.IterationLimit), jnp.int32)
     nlpsol = None
+    # straggler sort key for chunked fleets (params.sqp.chunk_size): pass
+    # k's per-member inner-ADMM totals order pass k+1's members so hard
+    # members cluster into few chunks (zeros on pass 0 = identity order)
+    sortk = jnp.zeros((B,), jnp.int32)
 
     for it in range(params.max_refine_iter):
 
         def _build_solve(mesh=mesh):
-            def solve(th, zz, ll):
+            def solve(th, zz, ll, sk):
                 return solve_nlp_sqp_batch(
                     lambda t: ocp_to_nlp(make_flat(t), mesh),
                     th,
                     zz,
                     params.sqp,
                     lam0=ll,
+                    sort_key=sk,
                 )
 
             return jax.jit(solve)
@@ -282,9 +299,30 @@ def solve_ocp_flat_batch(
         solve = _batch_solve_cache.get(
             "solve", make_flat, fam_key + (mesh, params.sqp), _build_solve
         )
-        nlpsol = solve(thetas, z, lam)
+        nlpsol = solve(thetas, z, lam, sortk)
         statuses = nlpsol.status
         all_opt = bool((statuses == int(NLPSolutionStatus.Optimal)).all())
+        n_rescued = 0
+
+        if not all_opt and params.rescue:
+            make_nlp = _batch_solve_cache.get(
+                "mknlp",
+                make_flat,
+                fam_key + (mesh,),
+                lambda: lambda t: ocp_to_nlp(make_flat(t), mesh),
+            )
+            nlpsol, n_rescued = rescue_nonoptimal(
+                make_nlp, thetas, nlpsol, params.sqp
+            )
+            statuses = nlpsol.status
+            all_opt = bool((statuses == int(NLPSolutionStatus.Optimal)).all())
+            if params.verbose and n_rescued:
+                print(
+                    f"[solve_ocp_batch] iter {it}: rescued {n_rescued} "
+                    f"members ({int((statuses != 0).sum())} still bad)"
+                )
+        rescued.append(n_rescued)
+        sortk = nlpsol.qp_iters
 
         if not all_opt and params.fail_fast:
             meshes.append(mesh)
@@ -351,7 +389,9 @@ def solve_ocp_flat_batch(
         z, lam = transfer(thetas, nlpsol)
         mesh = mesh_new
 
-    return nlpsol, mesh, SolveOCPBatchInfo(meshes, iters, errors, statuses)
+    return nlpsol, mesh, SolveOCPBatchInfo(
+        meshes, iters, errors, statuses, rescued
+    )
 
 
 def solve_ocp(

@@ -3,6 +3,7 @@
 from .mesh_utils import (
     dp_mesh,
     make_sharded_fleet_step,
+    make_sharded_sqp_fleet,
     replicate,
     shard_batch,
     shard_ekf_fleet,
@@ -13,6 +14,7 @@ from .mesh_utils import (
 __all__ = [
     "dp_mesh",
     "make_sharded_fleet_step",
+    "make_sharded_sqp_fleet",
     "shard_batch",
     "shard_ekf_fleet",
     "shard_pytree",

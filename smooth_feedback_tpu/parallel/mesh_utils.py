@@ -97,3 +97,44 @@ def make_sharded_fleet_step(fleet_fn, mesh: Mesh, axis_name: str = "dp"):
         )(warmstarts, t, xs)
 
     return sharded
+
+
+def make_sharded_sqp_fleet(make_nlp, mesh: Mesh, params, axis_name: str = "dp"):
+    """shard_map a batched SQP fleet (``solve_nlp_sqp_batch``) over the mesh.
+
+    Each device runs the complete lockstep SQP + inner-ADMM loop on its
+    LOCAL sub-batch with NO collectives: the per-device ``lax.while_loop``
+    conditions are local, so every chip's early exits are decoupled from the
+    other chips' stragglers.  Sharding a B-member fleet over n chips is
+    therefore also the distributed half of the fleet-size-knee fix
+    (docs/TUNING.md): each chip pays only the worst member of B/n, and
+    ``params.chunk_size`` composes per chip for on-chip chunking.
+
+    ``make_nlp(theta) -> NLP`` as in :func:`solve_nlp_sqp_batch`; the
+    returned ``sharded(thetas, x0, lam0=None)`` takes batch-leading inputs
+    (shard them with :func:`shard_pytree` / :func:`shard_batch`) and returns
+    a batch-leading, batch-sharded ``NLPSolution``.  B must divide evenly by
+    the mesh size (shard_map requirement).
+    """
+    from ..solvers.sqp import solve_nlp_sqp_batch
+
+    dp = P(axis_name)
+    dp_tree = lambda tree: jax.tree.map(lambda _: dp, tree)
+
+    def local(th, x0, lam0):
+        return solve_nlp_sqp_batch(make_nlp, th, x0, params, lam0=lam0)
+
+    def sharded(thetas, x0, lam0=None):
+        if lam0 is None:
+            import jax.numpy as jnp
+
+            m = make_nlp(jax.tree.map(lambda a: a[0], thetas)).m
+            lam0 = jnp.zeros((x0.shape[0], m), x0.dtype)
+        in_specs = (dp_tree(thetas), dp, dp)
+        out_shape = jax.eval_shape(local, thetas, x0, lam0)
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs,
+            out_specs=dp_tree(out_shape), check_vma=False,
+        )(thetas, x0, lam0)
+
+    return sharded

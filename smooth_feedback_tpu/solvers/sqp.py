@@ -98,6 +98,16 @@ class SQPParams:
     # per-iteration cost — the analog of the reference example's Ipopt
     # hessian_approximation=limited-memory, ocp_se2_nlp.cpp:64).
     hessian: str = "exact"
+    # Fleet chunking (solve_nlp_sqp_batch only; None = whole fleet in one
+    # lockstep loop).  Cost per lockstep iteration is HBM-bandwidth-linear
+    # in B while the iteration COUNT is the fleet max — and the expected
+    # max over B random members grows with B, so one-shot throughput
+    # ANTI-scales past B~64 (measured on the SE(2) OCP sweep: 63 solves/s
+    # at B=64, 15.2 at B=256 — docs/TUNING.md "Fleet-size knee").  With
+    # chunk_size set, the fleet runs as ceil(B/chunk) sequential chunks
+    # through ONE compiled chunk-shaped program (lax.map): each chunk pays
+    # only its own worst member, and compile cost stays at chunk size.
+    chunk_size: Optional[int] = None
 
 
 def _violation(nlp: NLP, x, gval):
@@ -579,6 +589,7 @@ def solve_nlp_sqp_batch(
     x0: jax.Array,
     params: SQPParams = SQPParams(),
     lam0: Optional[jax.Array] = None,
+    sort_key: Optional[jax.Array] = None,
 ) -> NLPSolution:
     """Solve a fleet of structurally identical NLPs in one batched SQP.
 
@@ -589,9 +600,55 @@ def solve_nlp_sqp_batch(
 
     Prefer this over ``jax.vmap(solve_nlp_sqp)`` for fleets (see module
     comment); parity-tested against the vmapped form.
+
+    With ``params.chunk_size`` set the fleet executes as sequential chunks
+    (one compiled chunk-shaped program; docs/TUNING.md "Fleet-size knee"),
+    and an optional ``sort_key`` (B,) — e.g. the previous refinement pass's
+    per-member ``qp_iters`` — orders members by expected difficulty so
+    stragglers cluster into FEW chunks instead of taxing every chunk's
+    lockstep loop (cf. the pallas QP backend's ``sort_stragglers``).
+    Results are inverse-permuted; exact up to chunk-membership effects on
+    the shared early-exit tests.
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0)
+        cs = params.chunk_size
+        B = x0.shape[0]
+        if cs is None or B <= cs:
+            return _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0)
+
+        if lam0 is None:
+            m = make_nlp(jax.tree.map(lambda a: a[0], thetas)).m
+            lam0 = jnp.zeros((B, m), x0.dtype)
+
+        perm = None
+        if sort_key is not None:
+            perm = jnp.argsort(sort_key)
+            thetas = jax.tree.map(lambda a: a[perm], thetas)
+            x0, lam0 = x0[perm], lam0[perm]
+
+        n_chunks = -(-B // cs)
+        pad = n_chunks * cs - B
+
+        def _chunk(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+                )
+            return a.reshape((n_chunks, cs) + a.shape[1:])
+
+        sol_c = lax.map(
+            lambda args: _solve_nlp_sqp_batch_impl(
+                make_nlp, args[0], args[1], params, args[2]
+            ),
+            (jax.tree.map(_chunk, thetas), _chunk(x0), _chunk(lam0)),
+        )
+        sol = jax.tree.map(
+            lambda a: a.reshape((n_chunks * cs,) + a.shape[2:])[:B], sol_c
+        )
+        if perm is not None:
+            inv = jnp.argsort(perm)
+            sol = jax.tree.map(lambda a: a[inv], sol)
+        return sol
 
 
 def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
@@ -1016,3 +1073,91 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         kkt_res=st.kkt,
         qp_iters=st.qp_iters,
     )
+
+
+class _RescueCache:
+    """Memo of the jitted solo rescue solve keyed on (family identity,
+    params); strong reference to the family callable guards id reuse (same
+    rationale as ocp.solve._SolveCache)."""
+
+    def __init__(self, maxsize: int = 16):
+        self._entries = {}
+        self._maxsize = maxsize
+
+    def get(self, make_nlp, params):
+        key = (id(make_nlp), params)
+        hit = self._entries.get(key)
+        if hit is not None and hit[0] is make_nlp:
+            return hit[1]
+        fn = jax.jit(
+            lambda th, xx: solve_nlp_sqp(make_nlp(th), xx, params)
+        )
+        if len(self._entries) >= self._maxsize:
+            self._entries.pop(next(iter(self._entries)))
+        self._entries[key] = (make_nlp, fn)
+        return fn
+
+
+_rescue_cache = _RescueCache()
+
+
+def rescue_nonoptimal(
+    make_nlp,
+    thetas,
+    sol: NLPSolution,
+    params: SQPParams,
+    *,
+    qp_iter_scale: int = 4,
+    iter_scale: int = 2,
+) -> tuple[NLPSolution, int]:
+    """Re-solve the non-Optimal members of a fleet solution solo.
+
+    The lockstep fleet gives every member the SAME budgets; the rare member
+    that exhausts them (the abandoned tail of the sweep artifacts) gets a
+    second solo pass here with ``qp_iter_scale``x the inner-ADMM budget,
+    ``iter_scale``x the SQP budget, fresh multipliers, and the fleet's last
+    iterate as the primal warmstart — the batched analog of the reference's
+    refinement loop simply iterating Ipopt until convergence on each problem
+    (examples/ocp_se2_nlp.cpp:47-91).
+
+    Host-side driver (NOT jittable: statuses are materialized to find the
+    failed members); the solo solve itself is jitted once per (family,
+    params) and reused across members and calls.  Returns
+    ``(merged_sol, n_rescued)``; a member's fields are replaced only when
+    the rescue ends Optimal or strictly improves its KKT residual, and
+    ``iters``/``qp_iters`` accumulate the extra work for honest accounting.
+    """
+    import numpy as np
+
+    bad = np.flatnonzero(
+        np.asarray(sol.status) != int(NLPSolutionStatus.Optimal)
+    )
+    if bad.size == 0:
+        return sol, 0
+
+    prm = dataclasses.replace(
+        params,
+        max_iter=params.max_iter * iter_scale,
+        qp=dataclasses.replace(
+            params.qp, max_iter=params.qp.max_iter * qp_iter_scale
+        ),
+        chunk_size=None,
+    )
+    solve = _rescue_cache.get(make_nlp, prm)
+
+    out = {k: np.asarray(v).copy() for k, v in sol._asdict().items()}
+    for i in bad:
+        th_i = jax.tree.map(lambda a: a[i], thetas)
+        ri = solve(th_i, sol.x[i])
+        improved = int(ri.status) == int(NLPSolutionStatus.Optimal) or float(
+            ri.kkt_res
+        ) < float(sol.kkt_res[i])
+        extra_it, extra_qp = int(ri.iters), int(ri.qp_iters)
+        if improved:
+            for k in ("status", "x", "zl", "zu", "lam", "objective", "kkt_res"):
+                out[k][i] = np.asarray(getattr(ri, k))
+        out["iters"][i] += extra_it
+        out["qp_iters"][i] += extra_qp
+
+    merged = NLPSolution(**{k: jnp.asarray(v) for k, v in out.items()})
+    return merged, int(bad.size)

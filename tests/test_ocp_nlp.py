@@ -409,6 +409,7 @@ def test_solve_ocp_flat_batch_fail_fast():
     params = SolveOCPParams(
         target_err=1e-12, max_refine_iter=4, tf_guess=5.0,
         sqp=SQPParams(max_iter=1),  # IterationLimit on the first solve
+        rescue=False,  # this test pins the raw fail-fast path
     )
     _, _, info = solve_ocp_flat_batch(
         make_flat, jnp.array([1.0, 0.9]), Mesh.uniform(3, 5), params
@@ -418,6 +419,54 @@ def test_solve_ocp_flat_batch_fail_fast():
     )
     assert len(info.meshes) == 1  # stopped before any refinement
     assert np.isnan(info.errors[-1])
+
+
+def test_solve_ocp_flat_batch_rescue_and_chunking():
+    """Rescue + chunked-fleet path of the refinement driver: the DI family
+    needs (3, 3, 4) SQP iterations, so max_iter=3 starves exactly the last
+    member; rescue=True re-solves it solo (2x budget) instead of
+    fail-fast-stopping, and the second pass feeds the first pass's
+    per-member qp_iters as the chunking sort key."""
+    from smooth_feedback_tpu.ocp import solve_ocp_flat_batch
+
+    X, U = Rn(2), Rn(1)
+
+    def make_flat(p0):
+        return OCP(
+            X=X, U=U,
+            theta=lambda tf, x0, xf, q: q[0],
+            f=lambda t, x, u: jnp.stack([x[1], u[0]]),
+            g=lambda t, x, u: jnp.array([x @ x + u @ u]),
+            cr=lambda t, x, u: jnp.stack([x[1], u[0]]),
+            crl=jnp.array([-1.5, -1.0]),
+            cru=jnp.array([1.5, 1.0]),
+            ce=lambda tf, x0, xf, q: jnp.concatenate(
+                [tf[None], x0 - jnp.stack([p0, jnp.zeros(())]), xf]
+            ),
+            cel=jnp.array([5.0, 0.0, 0.0, 0.0, 0.0]),
+            ceu=jnp.array([5.0, 0.0, 0.0, 0.0, 0.0]),
+        )
+
+    p0s = jnp.array([1.0, 0.7, 1.3])
+    params = SolveOCPParams(
+        target_err=1e-3, max_refine_iter=2, tf_guess=5.0,
+        sqp=SQPParams(max_iter=3, tol=1e-7, chunk_size=2),
+    )
+    nlpsol, mesh, info = solve_ocp_flat_batch(
+        make_flat, p0s, Mesh.uniform(3, 5), params
+    )
+    assert np.all(np.asarray(info.statuses) == NLPSolutionStatus.Optimal)
+    assert info.rescued[0] >= 1  # the starved member went through rescue
+    # the rescued fleet matches an un-starved, un-chunked reference run
+    ref, _, _ = solve_ocp_flat_batch(
+        make_flat, p0s, Mesh.uniform(3, 5),
+        dataclasses.replace(
+            params, sqp=SQPParams(max_iter=100, tol=1e-7), rescue=False
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(nlpsol.x), np.asarray(ref.x), atol=1e-5
+    )
 
 
 def test_solve_ocp_flat_batch_returned_mesh_matches_solution():

@@ -2,6 +2,8 @@
 oracle cross-check (the role of the reference's Ipopt validation,
 tests/test_ocp_ipopt.cpp)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -344,6 +346,113 @@ def test_batch_sqp_matches_single_equality_heavy(dtype):
         np.testing.assert_allclose(
             np.asarray(batched.x[i]), np.asarray(s.x), atol=atol
         )
+
+
+def test_batch_sqp_chunked_matches_unchunked():
+    """chunk_size executes the fleet as sequential lax.map chunks (the
+    straggler-blowup fix, docs/TUNING.md "Fleet-size knee"); results must
+    match the one-shot fleet.  Covers a non-divisible B (padding with
+    member 0 + stripping), and sort_key ordering with inverse permutation."""
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    def make(b):
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (x[0] - b) ** 2 + 0.5 * (x[1] + b) ** 2 + 0.1 * x[0] * x[1],
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.full(2, -5.0),
+            xu=jnp.full(2, 5.0),
+            gl=jnp.array([-1.0]),
+            gu=jnp.array([1.0]),
+        )
+
+    B = 7  # not divisible by chunk_size=3: exercises padding
+    bs = jnp.linspace(-2.0, 2.0, B)
+    x0 = jnp.zeros((B, 2))
+    prm0 = SQPParams(max_iter=40, tol=1e-8)
+    prm_c = dataclasses.replace(prm0, chunk_size=3)
+
+    ref = solve_nlp_sqp_batch(make, bs, x0, prm0)
+    chunked = solve_nlp_sqp_batch(make, bs, x0, prm_c)
+    # descending-difficulty key: exercises the permute + inverse-permute
+    sorted_ = solve_nlp_sqp_batch(
+        make, bs, x0, prm_c, sort_key=jnp.abs(bs - 0.3)
+    )
+
+    for sol in (chunked, sorted_):
+        np.testing.assert_array_equal(
+            np.asarray(sol.status), np.asarray(ref.status)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.x), np.asarray(ref.x), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.objective), np.asarray(ref.objective), atol=1e-7
+        )
+    assert np.all(np.asarray(ref.status) == NLPSolutionStatus.Optimal)
+
+    # chunked form also works under jit with traced problem data
+    jitted = jax.jit(
+        lambda b_, x_: solve_nlp_sqp_batch(make, b_, x_, prm_c)
+    )(bs, x0)
+    np.testing.assert_allclose(
+        np.asarray(jitted.x), np.asarray(ref.x), atol=1e-7
+    )
+
+
+def test_rescue_nonoptimal_recovers_tail():
+    """A fleet run under a starved SQP budget leaves IterationLimit members;
+    rescue_nonoptimal re-solves them solo with boosted budgets and merges —
+    the fleet analog of the reference iterating Ipopt to convergence
+    (examples/ocp_se2_nlp.cpp:47-91).  Already-Optimal members' primals are
+    untouched and work accounting accumulates."""
+    from smooth_feedback_tpu.solvers import (
+        rescue_nonoptimal,
+        solve_nlp_sqp_batch,
+    )
+
+    def make(b):
+        # Rosenbrock-like valley: needs ~10+ iterations from a cold start
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (1.0 - x[0]) ** 2 + 10.0 * (x[1] - x[0] ** 2) ** 2 * b,
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.full(2, -5.0),
+            xu=jnp.full(2, 5.0),
+            gl=jnp.array([-4.0]),
+            gu=jnp.array([4.0]),
+        )
+
+    bs = jnp.array([0.0, 1.0, 5.0, 10.0])  # increasing valley curvature
+    x0 = jnp.tile(jnp.array([-1.2, 1.0]), (4, 1))
+    prm = SQPParams(max_iter=4, tol=1e-8)  # starved: hard members fail
+
+    sol = solve_nlp_sqp_batch(make, bs, x0, prm)
+    st0 = np.asarray(sol.status)
+    assert (st0 != NLPSolutionStatus.Optimal).any(), "fixture not starving"
+
+    merged, n_rescued = rescue_nonoptimal(
+        make, bs, sol, prm, qp_iter_scale=2, iter_scale=20
+    )
+    assert n_rescued == int((st0 != NLPSolutionStatus.Optimal).sum())
+    assert np.all(np.asarray(merged.status) == NLPSolutionStatus.Optimal)
+    # untouched Optimal members keep their primal bit-for-bit
+    for i in np.flatnonzero(st0 == NLPSolutionStatus.Optimal):
+        np.testing.assert_array_equal(
+            np.asarray(merged.x[i]), np.asarray(sol.x[i])
+        )
+    # rescued members really sit at the optimum (x ~ (1, 1) for this valley)
+    for i in np.flatnonzero(st0 != NLPSolutionStatus.Optimal):
+        np.testing.assert_allclose(
+            np.asarray(merged.x[i]), np.array([1.0, 1.0]), atol=1e-5
+        )
+        assert int(merged.iters[i]) > int(sol.iters[i])  # work accumulated
+
+    # no-op on an all-Optimal fleet
+    same, n0 = rescue_nonoptimal(make, bs, merged, prm)
+    assert n0 == 0 and same is merged
 
 
 def test_batch_sqp_per_member_bounds():
