@@ -112,8 +112,7 @@ def run_config(K, B, condense=True, nscan=None):
 
     DT = 0.05  # plant step = clock step
 
-    @jax.jit
-    def chain(ws, xs, t0):
+    def chain_fn(ws, xs, t0):
         """NSCAN TRUE closed-loop MPC steps on a common clock (LTI fleet):
         each solve's u drives the double-integrator plant forward one Euler
         step, so successive QPs see evolved states, not just a shifted
@@ -124,37 +123,81 @@ def run_config(K, B, condense=True, nscan=None):
             ws, xs = carry
             r = step.fleet_shared_t(ws, t0 + DT * i.astype(dtype), xs)
             xs = xs + DT * jnp.stack([xs[:, 1], r.u[:, 0]], axis=1)  # x+dt f(x,u)
-            return (r.warmstart, xs), r.status
+            return (r.warmstart, xs), (r.status, r.warmstart.iters)
 
         return jax.lax.scan(body, (ws, xs), jnp.arange(NSCAN_))
 
+    chain = jax.jit(chain_fn)
+
     span = NSCAN_ * DT  # chain duration; keep the fleet clock monotone
-    (ws, xs), sts = chain(wss, xs, 0.0)  # compile + cold solves
+    # Compile cost as a first-class metric (round-over-round regressions
+    # stay visible in the artifacts): compile_s is what THIS process paid
+    # (cold, or persistent-disk-cache warm); warm_cache_s is a FRESH trace
+    # of the same program hitting the now-warm compilation caches — the
+    # re-run UX cost under utils.enable_compilation_cache().
+    t0 = time.perf_counter()
+    chain.lower(wss, xs, 0.0).compile()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.jit(chain_fn).lower(wss, xs, 0.0).compile()
+    warm_cache_s = time.perf_counter() - t0
+
+    (ws, xs), (sts, _) = chain(wss, xs, 0.0)  # cold solves
     jax.block_until_ready(ws)
-    (ws, xs), sts = chain(ws, xs, span)  # enter warmstarted regime
+    (ws, xs), (sts, _) = chain(ws, xs, span)  # enter warmstarted regime
     jax.block_until_ready(ws)
 
     best_dt = np.inf
-    all_sts = []
+    all_sts, all_its = [], []
     # best-of-5: the tunneled device occasionally delivers a 20x-slow run
     # (host-side interference); best-of keeps the metric a device number
     for rep in range(5):
         t0 = time.perf_counter()
-        (ws, xs), sts = chain(ws, xs, (2 + rep) * span)
+        (ws, xs), (sts, its) = chain(ws, xs, (2 + rep) * span)
         # host-transfer barrier (tiny slice): jax.block_until_ready has been
         # observed returning early on some axon programs; an actual device ->
         # host read cannot complete before the computation does
         _ = np.asarray(sts[-1])
         best_dt = min(best_dt, (time.perf_counter() - t0) / NSCAN_)
         all_sts.append(np.asarray(sts))
+        all_its.append(np.asarray(its))
 
     st = np.concatenate(all_sts, axis=0)  # (5*NSCAN, B) statuses of EVERY solve
+    its = np.concatenate(all_its, axis=0)  # (5*NSCAN, B) per-solve ADMM iters
     optimal_pct = float(np.mean(st == 0) * 100.0)
     value = B / best_dt
     if optimal_pct < 99.9:
         # convergence gate: a throughput number for unsolved QPs is not a
         # solves/sec number (VERDICT r1 weak #2)
         value = 0.0
+
+    # Nominal-FLOP / MFU accounting (utils/flops.py): per solve, the ADMM
+    # iterations + stopping checks of the (n, m) QP (factorizations are
+    # hoisted by reuse_factors) plus, for the condensed variant, the
+    # vectors-only transcription and state-recovery GEMMs.  A LOWER bound
+    # on useful work: scaling/clip/finalize elementwise ops are unmodeled,
+    # and lane/tile padding waste shows up as LOW utilization by
+    # construction (nominal flops, not executed flops).
+    from smooth_feedback_tpu.utils import (
+        condensed_mpc_transcribe_flops,
+        mfu_pct,
+        qp_solve_flops,
+    )
+
+    nq, mq = ws0.primal.shape[-1], ws0.dual.shape[-1]
+    mean_iters = float(np.mean(its))
+    per_solve = qp_solve_flops(
+        nq, mq, mean_iters,
+        checks=mean_iters / 10.0,  # stop_check_iter=10 in this config
+        factorizations=0.0,  # reuse_factors: hoisted out of the loop
+    )
+    if condense:
+        nx = 2  # DI state dim; condensed xL = (N + 1) * nx with N = nq nodes
+        per_solve += condensed_mpc_transcribe_flops(nq, mq, (nq + 1) * nx, nx)
+    flops_per_step = per_solve * B
+    device = jax.devices()[0].platform
+    mfu = mfu_pct(flops_per_step, best_dt, device)
+
     return {
         "metric": f"di_mpc_k{K}_qp_solves_per_sec",
         "value": round(float(value), 1),
@@ -164,17 +207,33 @@ def run_config(K, B, condense=True, nscan=None):
         "batch": B,
         "variant": "condensed" if condense else "sparse",
         "step_ms": round(best_dt * 1e3, 3),
-        "device": jax.devices()[0].platform,
+        "compile_s": round(compile_s, 1),
+        "warm_cache_s": round(warm_cache_s, 1),
+        "admm_iters_mean": round(mean_iters, 1),
+        # nominal FLOPs of one fleet MPC step + model-FLOP utilization vs
+        # the v5e bf16 peak (f32-highest matmuls cap nominal MFU at ~16.4%
+        # of that peak — utils/flops.py) — null off-TPU
+        "flops_per_step": float(f"{flops_per_step:.3e}"),
+        "mfu_pct": None if mfu is None else float(f"{mfu:.3f}"),
+        "device": device,
     }
 
 
 def main():
     out = run_config(K, B)
-    keep = {k: out[k] for k in ("metric", "value", "unit", "vs_baseline", "optimal_pct")}
+    keep = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "vs_baseline", "optimal_pct",
+            "compile_s", "mfu_pct",
+        )
+    }
     print(json.dumps(keep))
     print(
         f"# batch={out['batch']} step={out['step_ms']:.2f}ms "
-        f"optimal={out['optimal_pct']:.2f}% device={out['device']}",
+        f"optimal={out['optimal_pct']:.2f}% device={out['device']} "
+        f"compile={out['compile_s']}s warm_cache={out['warm_cache_s']}s "
+        f"mfu={out['mfu_pct']}%",
         file=sys.stderr,
     )
 
@@ -205,7 +264,13 @@ def sweep():
     with open(path, "w") as fh:
         json.dump(rows, fh, indent=1)
     head = rows[0]
-    keep = {k: head[k] for k in ("metric", "value", "unit", "vs_baseline", "optimal_pct")}
+    keep = {
+        k: head[k]
+        for k in (
+            "metric", "value", "unit", "vs_baseline", "optimal_pct",
+            "compile_s", "mfu_pct",
+        )
+    }
     print(json.dumps(keep))
 
 

@@ -177,8 +177,13 @@ class _FakeIpoptProblem:
     def add_option(self, k, v):
         self.options[k] = v
 
-    def solve(self, x0):
+    def solve(self, x0, lagrange=[], zl=[], zu=[]):
         x0 = np.asarray(x0)
+        self.warmstart_seen = (
+            (np.asarray(lagrange), np.asarray(zl), np.asarray(zu))
+            if len(lagrange)
+            else None
+        )
         # exercise every jax-backed callback the way Ipopt would
         fv = self.obj.objective(x0)
         gv = self.obj.gradient(x0)
@@ -188,6 +193,15 @@ class _FakeIpoptProblem:
         assert gv.shape == (self.n,)
         assert cv.shape == (self.m,)
         assert jv.shape == (self.m * self.n,)
+        # drive the intermediate (per-iteration) callback like Ipopt does
+        if hasattr(self.obj, "intermediate"):
+            for it in range(6):
+                assert (
+                    self.obj.intermediate(
+                        0, it, float(fv), 0.1, 0.1, 0.1, 0.1, 0.1, 1.0, 1.0, 1
+                    )
+                    is True
+                )
         # exact-Hessian mode: drive eval_h the way Ipopt would
         self.hessian_seen = None
         if hasattr(self.obj, "hessian"):
@@ -245,6 +259,37 @@ def test_ipopt_bridge_mapping(fake_cyipopt):
     # lambda sign flip: lam = -mult_g (Ipopt convention differs)
     np.testing.assert_allclose(sol.lam, [-2.0])
     np.testing.assert_allclose(sol.objective, 0.5)  # f at x0=(0.5,0.5)
+    # iteration count extracted through the intermediate callback (the
+    # fake drives 6 iterations, 0..5)
+    assert int(sol.iters) == 5
+
+
+def test_ipopt_bridge_warmstart_passthrough(fake_cyipopt):
+    """NLPSolution warmstart -> Ipopt get_starting_point analog (reference
+    compat/ipopt.hpp:95-116): primal overrides x0, multipliers pass through
+    with the mult_g sign flip, and warm_start_init_point is set."""
+    import jax.numpy as jnp
+
+    from smooth_feedback_tpu.compat.ipopt_bridge import solve_nlp_ipopt
+    from smooth_feedback_tpu.nlp import NLPSolution
+
+    ws = NLPSolution(
+        status=np.int32(0), iters=np.int32(4),
+        x=jnp.asarray([0.25, 0.75]),
+        zl=jnp.asarray([0.1, 0.0]), zu=jnp.asarray([0.0, 0.2]),
+        lam=jnp.asarray([1.5]),
+        objective=np.float64(0.0), kkt_res=np.float64(0.0),
+    )
+    sol = solve_nlp_ipopt(_small_nlp(), np.zeros(2), warmstart=ws)
+    p = _FakeIpoptProblem.last
+    assert p.options["warm_start_init_point"] == "yes"
+    lag, zl, zu = p.warmstart_seen
+    np.testing.assert_allclose(lag, [-1.5])  # lam -> mult_g sign flip
+    np.testing.assert_allclose(zl, [0.1, 0.0])
+    np.testing.assert_allclose(zu, [0.0, 0.2])
+    # the fake echoes its x0 back: proves warmstart.x overrode the x0 arg
+    np.testing.assert_allclose(sol.x, [0.25, 0.75])
+    assert int(sol.status) == NLPSolutionStatus.Optimal
 
 
 def test_ipopt_bridge_exact_hessian(fake_cyipopt):
@@ -293,8 +338,12 @@ def test_with_hessians_contracted_constraint_hessian():
     [
         (0, NLPSolutionStatus.Optimal),
         (1, NLPSolutionStatus.Optimal),
-        (2, NLPSolutionStatus.Unknown),
-        (-1, NLPSolutionStatus.Unknown),
+        (2, NLPSolutionStatus.PrimalInfeasible),
+        (4, NLPSolutionStatus.DualInfeasible),
+        (-1, NLPSolutionStatus.IterationLimit),
+        (-4, NLPSolutionStatus.IterationLimit),
+        (5, NLPSolutionStatus.Unknown),
+        (-2, NLPSolutionStatus.Unknown),
     ],
 )
 def test_ipopt_bridge_status_map(fake_cyipopt, ipopt_status, expected):

@@ -135,3 +135,35 @@ def test_import_order_solvers_first():
     )
     assert out.returncode == 0, out.stderr
     assert "ok" in out.stdout
+
+
+def test_flops_model_composition():
+    """Closed-form FLOP model sanity: composition, monotonicity, and the
+    hand-counted n=m=2 ADMM iteration (4mn=16, 2n^2=8, 12(n+m)=48 -> 72)."""
+    from smooth_feedback_tpu.utils import (
+        admm_check_flops,
+        admm_factor_flops,
+        admm_iter_flops,
+        device_peak_flops,
+        mfu_pct,
+        qp_solve_flops,
+    )
+
+    assert admm_iter_flops(2, 2) == 16 + 8 + 48
+    # refinement rounds add 4n^2 each
+    assert admm_iter_flops(2, 2, refine_iters=1) == admm_iter_flops(2, 2) + 16
+    assert admm_check_flops(3, 5) == 6 * 2 * 5 * 3
+    assert admm_factor_flops(3, 4) == 2 * 4 * 9 + 27 / 3 + 2 * 27
+
+    total = qp_solve_flops(4, 6, 100, checks=10, factorizations=2, refine_iters=1)
+    assert total == (
+        100 * admm_iter_flops(4, 6, 1)
+        + 10 * admm_check_flops(4, 6)
+        + 2 * admm_factor_flops(4, 6)
+    )
+
+    # MFU: 197e12 flops in 1 s on a v5e = 100% of bf16 peak; unknown
+    # platform -> None (CPU runs carry no utilization claim)
+    assert abs(mfu_pct(197e12, 1.0, "tpu") - 100.0) < 1e-9
+    assert mfu_pct(1.0, 1.0, "cpu") is None
+    assert device_peak_flops("tpu") == 197e12
