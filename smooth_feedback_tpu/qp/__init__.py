@@ -1,6 +1,13 @@
 """Batched dense QP solving (L2 numerical kernel layer)."""
 
-from .solver import QPFactors, qp_factorize, solve_qp, solve_qp_batch, solve_qp_timed
+from .solver import (
+    QPFactors,
+    qp_factorize,
+    qp_phase_timings,
+    solve_qp,
+    solve_qp_batch,
+    solve_qp_timed,
+)
 from .types import (
     QPSolution,
     QPSolutionStatus,
@@ -20,6 +27,7 @@ __all__ = [
     "QPFactors",
     "solve_qp_batch",
     "solve_qp_timed",
+    "qp_phase_timings",
     "random_qp",
     "warmstart_like",
 ]

@@ -1314,3 +1314,69 @@ def solve_qp_timed(
     if not batched:
         sol = jax.tree.map(lambda a: a[0], sol)
     return sol
+
+
+def qp_phase_timings(
+    qp: QuadraticProgram,
+    prm: QPSolverParams = QPSolverParams(),
+    warmstart: Optional[QPSolution] = None,
+    reps: int = 3,
+) -> dict:
+    """Measured per-phase wall-time breakdown of a (batched) QP solve — the
+    TPU-native analog of the reference verbose mode's Matrix-filling /
+    Factorization / Iteration / Polish table (qp_solver.hpp:550-565).
+
+    Inside one jitted program the phases fuse and no in-program clock
+    exists, so the breakdown is measured by compiling and timing nested
+    PREFIXES of the pipeline and differencing:
+
+    * ``factor_ms``   — scaling + KKT assembly + factorization
+      (``qp_factorize``), timed directly;
+    * ``iterate_ms``  — (full solve, polish off) − factor_ms;
+    * ``polish_ms``   — (full solve, polish on) − (full solve, polish off),
+      0.0 when ``prm.polish`` is already off;
+    * ``total_ms``    — the full configured solve.
+
+    Each leg is compiled + warmed before timing (best of ``reps``).  A
+    host-side profiling utility — three compiles per call — for tuning,
+    not for production loops.
+    """
+    import dataclasses as _dc
+    import time as _time
+
+    batched = qp.P.ndim == 3
+    qp_b = qp if batched else jax.tree.map(lambda a: a[None], qp)
+    ws = warmstart
+    if ws is not None and not batched:
+        ws = jax.tree.map(lambda a: a[None], ws)
+
+    def _best(fn, *args):
+        out = fn(*args)  # compile + warm
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, _time.perf_counter() - t0)
+        return 1e3 * best, out
+
+    fact = jax.jit(lambda q_: qp_factorize(q_, prm))
+    prm_np = _dc.replace(prm, polish=False)
+    solve_np = jax.jit(lambda q_, w_: _solve_qp_batch_impl(q_, prm_np, w_))
+    factor_ms, _ = _best(fact, qp_b)
+    nopolish_ms, sol = _best(solve_np, qp_b, ws)
+    if prm.polish:
+        solve_full = jax.jit(lambda q_, w_: _solve_qp_batch_impl(q_, prm, w_))
+        total_ms, sol = _best(solve_full, qp_b, ws)
+        polish_ms = max(0.0, total_ms - nopolish_ms)
+    else:
+        total_ms, polish_ms = nopolish_ms, 0.0
+    return {
+        "factor_ms": round(factor_ms, 4),
+        "iterate_ms": round(max(0.0, nopolish_ms - factor_ms), 4),
+        "polish_ms": round(polish_ms, 4),
+        "total_ms": round(total_ms, 4),
+        "iters_mean": float(jnp.mean(sol.iters)),
+        "batch": int(qp_b.P.shape[0]),
+    }

@@ -989,3 +989,29 @@ def test_adaptive_rho_rejected_pallas_and_shared():
     fac = jax.tree.map(lambda a: a[0], qp_factorize(qp1, prm_x))
     with pytest.raises(ValueError, match="adaptive_rho"):
         solve_qp_batch(qps, prm_x, None, fac)
+
+
+def test_qp_phase_timings_breakdown():
+    """qp_phase_timings reports the measured factor/iterate/polish
+    wall-time split (the reference verbose table's TPU analog,
+    qp_solver.hpp:550-565): phases are non-negative, sum to ~total, and
+    the polish leg vanishes when polish is off."""
+    from smooth_feedback_tpu.qp import qp_phase_timings, random_qp
+
+    B = 8
+    qps = jax.vmap(lambda k: random_qp(k, n=6, m=8))(
+        jax.random.split(jax.random.PRNGKey(11), B)
+    )
+    t = qp_phase_timings(qps, QPSolverParams(polish=True), reps=2)
+    assert t["batch"] == B and t["iters_mean"] > 0
+    for k in ("factor_ms", "iterate_ms", "polish_ms", "total_ms"):
+        assert t[k] >= 0.0
+    assert t["total_ms"] >= t["factor_ms"]
+
+    t2 = qp_phase_timings(qps, QPSolverParams(polish=False), reps=2)
+    assert t2["polish_ms"] == 0.0
+
+    # single (unbatched) QP works too
+    one = jax.tree.map(lambda a: a[0], qps)
+    t3 = qp_phase_timings(one, QPSolverParams(), reps=1)
+    assert t3["batch"] == 1
