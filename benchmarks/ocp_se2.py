@@ -52,6 +52,18 @@ CHUNK = int(
 # boosted budgets after each timed rep (rescue wall time COUNTS toward that
 # rep's throughput — the recorded number includes converging the tail).
 RESCUE = "--no-rescue" not in sys.argv
+# Per-member total inner-ADMM budget (0 = unbounded).  Converging members'
+# p99 is ~34k (--hist); a pathological member otherwise burns max_iter x
+# qpcap = 72k in lockstep while its chunk-mates sit frozen.  Exhausted
+# members freeze as IterationLimit and the rescue pass re-solves them solo.
+BUDGET = int(
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--budget=")), 36000)
+)
+# Difficulty-probe SQP iterations for chunked fleets (0 = no probe): sorts
+# members into chunks by observed difficulty so stragglers share a chunk.
+PROBE = int(
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--probe=")), 3)
+)
 
 import jax
 
@@ -139,9 +151,13 @@ def main(B=None):
         # older vmapped form — no early exit — the sweep was ~linear in the
         # cap: 4000 -> 10.2 solves/s, 1200 -> 26.5 at B=64, which is why it
         # sits at 1200; re-tune against qp_iters_p50/max in the output.)
+        chunked = bool(CHUNK) and B > CHUNK
         prm = SQPParams(
             max_iter=60, tol=1e-4, compensated_kkt=True,
-            chunk_size=(CHUNK or None) if B > max(CHUNK, 1) else None,
+            chunk_size=CHUNK if chunked else None,
+            qp_budget=BUDGET or None,
+            probe_iters=PROBE if chunked else 0,
+            probe_qp_cap=300,
             qp=QPSolverParams(
                 eps_abs=1e-6, eps_rel=1e-6, max_iter=QPCAP, polish=True,
                 kkt_refine_iters=1, backend=BACKEND,
@@ -298,6 +314,8 @@ def main(B=None):
         "backend": prm.qp.backend,
         "qpcap": prm.qp.max_iter,
         "chunk": prm.chunk_size or 0,
+        "qp_budget": prm.qp_budget or 0,
+        "probe": prm.probe_iters,
         "rescued": n_rescued,
         # nominal inner-ADMM FLOPs per rep + model-FLOP utilization vs the
         # v5e bf16 peak (f32-highest matmuls cap nominal MFU at ~16.4%;
@@ -342,6 +360,8 @@ def main(B=None):
             r.get("qpcap", 1200),
             r.get("tol", 1e-4),
             r.get("chunk", 0),
+            r.get("qp_budget", 0),
+            r.get("probe", 0),
         )
         rows = [r for r in rows if key(r) != key(out)] + [out]
         rows.sort(key=key)

@@ -108,6 +108,28 @@ class SQPParams:
     # through ONE compiled chunk-shaped program (lax.map): each chunk pays
     # only its own worst member, and compile cost stays at chunk size.
     chunk_size: Optional[int] = None
+    # Per-member TOTAL inner-ADMM iteration budget (batched form only;
+    # None = unbounded).  A member whose subproblems keep hitting the
+    # inner cap drags its whole lockstep group to the cap on EVERY SQP
+    # iteration (measured: one pathological member burns 60 x ~1100 inner
+    # iterations while its 63 chunk-mates sit frozen).  Exhausting the
+    # budget freezes the member with IterationLimit — the rescue pass
+    # (rescue_nonoptimal) then gives it a SOLO boosted solve where its
+    # iterations tax nobody.  Set ~2x the p99 of converging members'
+    # qp_iters (the SE(2) sweep: p99 ~34k -> budget 64k default off).
+    qp_budget: Optional[int] = None
+    # Difficulty probe for chunked fleets (batched form, chunk_size set,
+    # no explicit sort_key): run `probe_iters` SQP iterations UNCHUNKED
+    # with the inner-ADMM cap lowered to `probe_qp_cap` (cheap: the
+    # fleet-wide lockstep pass is bounded by probe_iters x probe_qp_cap),
+    # sort members by the observed difficulty (inner iterations + KKT
+    # distance), then run the chunked solve warmstarted from the probe
+    # state.  Stragglers cluster into FEW chunks instead of dragging every
+    # chunk to their SQP iteration count; probe work is not wasted (the
+    # main solve continues from the probe's primal-dual point) and is
+    # included in the returned iters/qp_iters accounting.
+    probe_iters: int = 0
+    probe_qp_cap: int = 200
 
 
 def _violation(nlp: NLP, x, gval):
@@ -620,6 +642,33 @@ def solve_nlp_sqp_batch(
             m = make_nlp(jax.tree.map(lambda a: a[0], thetas)).m
             lam0 = jnp.zeros((B, m), x0.dtype)
 
+        probe = None
+        if params.probe_iters > 0 and sort_key is None:
+            # cheap fleet-wide difficulty probe (see SQPParams.probe_iters)
+            probe_prm = dataclasses.replace(
+                params,
+                max_iter=params.probe_iters,
+                probe_iters=0,
+                chunk_size=None,
+                qp=dataclasses.replace(
+                    params.qp,
+                    max_iter=min(params.qp.max_iter, params.probe_qp_cap),
+                ),
+            )
+            probe = _solve_nlp_sqp_batch_impl(
+                make_nlp, thetas, x0, probe_prm, lam0
+            )
+            # primary: observed inner iterations; tiebreak (members that
+            # saturate the probe cap): log-distance of the KKT residual
+            # from tol — the pathological members sit orders of magnitude
+            # out
+            sort_key = probe.qp_iters.astype(x0.dtype) + 10.0 * jnp.clip(
+                jnp.log10(jnp.maximum(probe.kkt_res, 1e-12) / params.tol),
+                0.0,
+                30.0,
+            )
+            x0, lam0 = probe.x, probe.lam
+
         perm = None
         if sort_key is not None:
             perm = jnp.argsort(sort_key)
@@ -648,6 +697,13 @@ def solve_nlp_sqp_batch(
         if perm is not None:
             inv = jnp.argsort(perm)
             sol = jax.tree.map(lambda a: a[inv], sol)
+        if probe is not None:
+            # honest work accounting: the probe's iterations are real solve
+            # work the main pass continued from
+            sol = sol._replace(
+                iters=sol.iters + probe.iters,
+                qp_iters=sol.qp_iters + probe.qp_iters,
+            )
         return sol
 
 
@@ -720,6 +776,9 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         caug: jax.Array  # (B,) equality-augmentation weight (exact mode)
         kkt: jax.Array  # (B,)
         done: jax.Array  # (B,) bool
+        # (B,) bool: frozen by qp_budget exhaustion (done but NOT Optimal;
+        # the rescue pass re-solves these solo)
+        failed: jax.Array
         iters: jax.Array  # (B,) int32: SQP iterations until convergence
         qp_iters: jax.Array  # (B,) int32: accumulated inner-ADMM iterations
         qp_ws: QPSolution  # batched warmstart
@@ -984,6 +1043,18 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         # freeze converged elements (mask-and-continue, cf. the QP solver)
         runc = run[:, None]
         runm = run[:, None, None]
+        qp_iters_new = st.qp_iters + jnp.where(run, sol.iters, 0)
+        if params.qp_budget is not None:
+            # per-member total inner-iteration budget: freeze the member as
+            # IterationLimit instead of dragging its lockstep group to the
+            # inner cap for every remaining SQP iteration (the rescue pass
+            # re-solves it solo)
+            exhausted = jnp.logical_and(
+                jnp.logical_and(run, jnp.logical_not(done_new)),
+                qp_iters_new >= params.qp_budget,
+            )
+        else:
+            exhausted = jnp.zeros_like(run)
         return _BState(
             it=st.it + 1,
             x=jnp.where(runc, x_new, st.x),
@@ -993,9 +1064,10 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
             tau=jnp.where(run, tau, st.tau),
             caug=jnp.where(run, c_aug, st.caug),
             kkt=jnp.where(run, kkt, st.kkt),
-            done=jnp.logical_or(st.done, done_new),
+            done=jnp.logical_or(st.done, jnp.logical_or(done_new, exhausted)),
+            failed=jnp.logical_or(st.failed, exhausted),
             iters=jnp.where(run, st.it + 1, st.iters),
-            qp_iters=st.qp_iters + jnp.where(run, sol.iters, 0),
+            qp_iters=qp_iters_new,
             qp_ws=jax.tree.map(
                 lambda a, b: jnp.where(
                     run.reshape((B,) + (1,) * (a.ndim - 1)), a, b
@@ -1041,6 +1113,7 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         caug=jnp.zeros((B,), dt),
         kkt=jnp.full((B,), inf),
         done=jnp.zeros((B,), bool),
+        failed=jnp.zeros((B,), bool),
         iters=jnp.zeros((B,), jnp.int32),
         qp_iters=jnp.zeros((B,), jnp.int32),
         qp_ws=ws0,
@@ -1060,7 +1133,9 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
     st = lax.while_loop(cond, body, st0)
 
     status = jnp.where(
-        st.done, int(NLPSolutionStatus.Optimal), int(NLPSolutionStatus.IterationLimit)
+        jnp.logical_and(st.done, jnp.logical_not(st.failed)),
+        int(NLPSolutionStatus.Optimal),
+        int(NLPSolutionStatus.IterationLimit),
     ).astype(jnp.int32)
     return NLPSolution(
         status=status,

@@ -401,6 +401,94 @@ def test_batch_sqp_chunked_matches_unchunked():
     )
 
 
+def test_batch_sqp_qp_budget_freezes_strugglers():
+    """qp_budget freezes a member whose subproblems keep burning inner-ADMM
+    iterations: it ends IterationLimit near the budget instead of dragging
+    its lockstep group to the cap for every remaining SQP iteration; easy
+    members are untouched, and rescue_nonoptimal recovers the frozen one."""
+    from smooth_feedback_tpu.solvers import (
+        rescue_nonoptimal,
+        solve_nlp_sqp_batch,
+    )
+
+    def make(b):
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (1.0 - x[0]) ** 2 + 10.0 * (x[1] - x[0] ** 2) ** 2 * b,
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.full(2, -5.0),
+            xu=jnp.full(2, 5.0),
+            gl=jnp.array([-4.0]),
+            gu=jnp.array([4.0]),
+        )
+
+    bs = jnp.array([0.0, 10.0])  # easy quadratic + stiff valley
+    x0 = jnp.tile(jnp.array([-1.2, 1.0]), (2, 1))
+    base = SQPParams(max_iter=60, tol=1e-10, qp=QPSolverParams(max_iter=400))
+
+    ref = solve_nlp_sqp_batch(make, bs, x0, base)
+    assert np.all(np.asarray(ref.status) == NLPSolutionStatus.Optimal)
+    hard_qp_iters = int(ref.qp_iters[1])
+    budget = max(int(ref.qp_iters[0]) + 1, hard_qp_iters // 3)
+    assert budget < hard_qp_iters  # fixture: the budget actually binds
+
+    prm = dataclasses.replace(base, qp_budget=budget)
+    sol = solve_nlp_sqp_batch(make, bs, x0, prm)
+    assert int(sol.status[0]) == NLPSolutionStatus.Optimal
+    assert int(sol.status[1]) == NLPSolutionStatus.IterationLimit
+    # frozen close to the budget (within one subproblem's iterations)
+    assert int(sol.qp_iters[1]) <= budget + base.qp.max_iter
+    # easy member identical to the unbudgeted solve
+    np.testing.assert_allclose(
+        np.asarray(sol.x[0]), np.asarray(ref.x[0]), atol=1e-9
+    )
+
+    merged, n_resc = rescue_nonoptimal(make, bs, sol, prm, iter_scale=2)
+    assert n_resc == 1
+    assert np.all(np.asarray(merged.status) == NLPSolutionStatus.Optimal)
+
+
+def test_batch_sqp_probe_sorted_chunks_match():
+    """probe_iters runs a cheap unchunked difficulty probe, sorts members
+    into chunks by observed difficulty, and continues warmstarted; the
+    final optima match the plain fleet solve and the probe work is charged
+    to the returned iteration accounting."""
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    def make(b):
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (1.0 - x[0]) ** 2 + (1.0 + 5.0 * b) * (x[1] - x[0] ** 2) ** 2,
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.full(2, -5.0),
+            xu=jnp.full(2, 5.0),
+            gl=jnp.array([-4.0]),
+            gu=jnp.array([4.0]),
+        )
+
+    B = 6
+    bs = jnp.linspace(0.0, 2.0, B)
+    x0 = jnp.tile(jnp.array([-1.2, 1.0]), (B, 1))
+    base = SQPParams(max_iter=60, tol=1e-9)
+
+    ref = solve_nlp_sqp_batch(make, bs, x0, base)
+    probe_prm = dataclasses.replace(
+        base, chunk_size=2, probe_iters=2, probe_qp_cap=100
+    )
+    sol = solve_nlp_sqp_batch(make, bs, x0, probe_prm)
+
+    np.testing.assert_array_equal(
+        np.asarray(sol.status), np.asarray(ref.status)
+    )
+    assert np.all(np.asarray(sol.status) == NLPSolutionStatus.Optimal)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x), atol=1e-6)
+    # probe accounting: every member carries at least the probe's work
+    assert np.all(np.asarray(sol.qp_iters) > 0)
+    assert np.all(np.asarray(sol.iters) >= 1)
+
+
 def test_rescue_nonoptimal_recovers_tail():
     """A fleet run under a starved SQP budget leaves IterationLimit members;
     rescue_nonoptimal re-solves them solo with boosted budgets and merges —
