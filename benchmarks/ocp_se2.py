@@ -193,7 +193,10 @@ def main(B=None):
                 nlp = make_flat_nlp(mesh, vel)
                 z0 = jnp.zeros((nlp.n,)).at[0].set(5.0)
                 sol = solve_nlp_sqp(nlp, z0, prm)
-                return sol.status, sol.iters, sol.kkt_res, sol.objective, sol.qp_iters
+                return (
+                    sol.status, sol.iters, sol.kkt_res, sol.objective,
+                    sol.qp_iters, sol.x,
+                )
 
             return jax.vmap(solve_one)(vels)
 
@@ -206,11 +209,14 @@ def main(B=None):
             sol = solve_nlp_sqp_batch(
                 lambda vel: make_flat_nlp(mesh, vel), vels, z0, prm
             )
-            return sol.status, sol.iters, sol.kkt_res, sol.objective, sol.qp_iters
+            return (
+                sol.status, sol.iters, sol.kkt_res, sol.objective,
+                sol.qp_iters, sol.x,
+            )
 
     sweep = jax.jit(sweep_fn)
     t0 = time.perf_counter()
-    st, it, kkt, obj, qpi = sweep(_random_vels(jax.random.PRNGKey(0), B))
+    st, it, kkt, obj, qpi, xs = sweep(_random_vels(jax.random.PRNGKey(0), B))
     _ = np.asarray(st)  # host-transfer barrier
     t_compile = time.perf_counter() - t0
 
@@ -219,7 +225,7 @@ def main(B=None):
     # iterating Ipopt to convergence per problem (ocp_se2_nlp.cpp:47-91).
     # The sweep returns tuples, so rebuild the minimal NLPSolution the
     # rescue helper needs and re-extract the tuple after the merge.
-    def run_rescue(vels, st, it, kkt, obj, qpi):
+    def run_rescue(vels, st, it, kkt, obj, qpi, xs):
         from smooth_feedback_tpu.ocp.nlp import NLPSolution
 
         bad = np.flatnonzero(np.asarray(st) != 0)
@@ -227,17 +233,18 @@ def main(B=None):
             return st, it, kkt, obj, qpi, 0
         make = lambda vel: make_flat_nlp(mesh, vel)
         nvar = make(vels[0]).n
-        # rescue warmstarts from z0 (the sweep doesn't return x; failed
-        # members are rare enough that a cold boosted solo solve is fine)
+        # stage 1 warmstarts from the fleet's last iterate (xs); the cold
+        # z0 seeds stage 2's multistart ladder for members whose fleet
+        # iterate sits in a divergent basin
         z0 = jnp.zeros((vels.shape[0], nvar)).at[:, 0].set(5.0)
         sol = NLPSolution(
-            status=jnp.asarray(st), iters=jnp.asarray(it), x=z0,
+            status=jnp.asarray(st), iters=jnp.asarray(it), x=jnp.asarray(xs),
             zl=jnp.zeros_like(z0), zu=jnp.zeros_like(z0),
             lam=jnp.zeros((vels.shape[0], make(vels[0]).m), z0.dtype),
             objective=jnp.asarray(obj), kkt_res=jnp.asarray(kkt),
             qp_iters=jnp.asarray(qpi),
         )
-        merged, n_resc = rescue_nonoptimal(make, vels, sol, prm)
+        merged, n_resc = rescue_nonoptimal(make, vels, sol, prm, x0_cold=z0)
         return (
             np.asarray(merged.status), np.asarray(merged.iters),
             np.asarray(merged.kkt_res), np.asarray(merged.objective),
@@ -247,19 +254,26 @@ def main(B=None):
     # warm the rescue program outside the timed reps (compile only; its
     # RUNTIME is charged to each rep below)
     if RESCUE and bool(np.any(np.asarray(st) != 0)):
-        run_rescue(_random_vels(jax.random.PRNGKey(0), B), st, it, kkt, obj, qpi)
+        run_rescue(
+            _random_vels(jax.random.PRNGKey(0), B), st, it, kkt, obj, qpi, xs
+        )
 
     # FRESH inputs per timed rep: the tunnel memoizes identical dispatches
     best = np.inf
     n_rescued = 0
+    sweep_s = rescue_s = 0.0
     all_st, all_it, all_kkt, all_qpi = [], [], [], []
     for rep in range(3):
         vels = _random_vels(jax.random.PRNGKey(100 + rep), B)
         t0 = time.perf_counter()
-        st, it, kkt, obj, qpi = sweep(vels)
+        st, it, kkt, obj, qpi, xs = sweep(vels)
         st = np.asarray(st)  # host-transfer barrier
-        st, it, kkt, obj, qpi, nr = run_rescue(vels, st, it, kkt, obj, qpi)
-        best = min(best, time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        st, it, kkt, obj, qpi, nr = run_rescue(vels, st, it, kkt, obj, qpi, xs)
+        t2 = time.perf_counter()
+        best = min(best, t2 - t0)
+        sweep_s += t1 - t0
+        rescue_s += t2 - t1
         n_rescued += nr
         all_st.append(np.asarray(st))
         all_it.append(np.asarray(it))
@@ -308,6 +322,10 @@ def main(B=None):
         "median_kkt": float(f"{np.median(kkt):.2e}"),
         "max_kkt": float(f"{np.max(kkt):.2e}"),
         "compile_s": round(t_compile, 1),
+        # mean per-rep wall split: the fleet program vs the rescue pass
+        # (both charged to throughput; the split localizes regressions)
+        "sweep_s_mean": round(sweep_s / 3, 2),
+        "rescue_s_mean": round(rescue_s / 3, 2),
         "solver": "vmapped" if VMAP else "batched",
         # recorded from the params actually built, not the CLI flags (the
         # CPU protocol ignores --backend/--qpcap/--chunk)

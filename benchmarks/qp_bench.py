@@ -24,7 +24,13 @@ import time
 
 import jax
 
-jax.config.update("jax_enable_x64", True)  # the parity sweep is an f64 protocol
+# The parity sweep is an f64 CPU protocol; the TPU has no native f64 (x64
+# emulation faults on these program shapes), so both the x64 flag and the
+# parity sweep are gated on the platform and the TPU run does only the f32
+# throughput sweep.
+_PLATFORM = jax.devices()[0].platform
+if _PLATFORM == "cpu":
+    jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,5 +148,8 @@ def throughput_sweep(B=256, reps=5, record=False):
 
 
 if __name__ == "__main__":
-    parity_sweep()
+    if _PLATFORM == "cpu":
+        parity_sweep()
+    else:
+        print(f"(f64 parity sweep is a CPU protocol; skipped on {_PLATFORM})")
     throughput_sweep(record="--json" in sys.argv)

@@ -108,7 +108,7 @@ class SQPParams:
     # through ONE compiled chunk-shaped program (lax.map): each chunk pays
     # only its own worst member, and compile cost stays at chunk size.
     chunk_size: Optional[int] = None
-    # Per-member TOTAL inner-ADMM iteration budget (batched form only;
+    # Per-member TOTAL inner-ADMM iteration budget (both forms;
     # None = unbounded).  A member whose subproblems keep hitting the
     # inner cap drags its whole lockstep group to the cap on EVERY SQP
     # iteration (measured: one pathological member burns 60 x ~1100 inner
@@ -540,7 +540,14 @@ def _solve_nlp_sqp_impl(
         )
 
     def cond(st: _State):
-        return jnp.logical_and(st.it < params.max_iter, jnp.logical_not(st.done))
+        run = jnp.logical_and(st.it < params.max_iter, jnp.logical_not(st.done))
+        if params.qp_budget is not None:
+            # total inner-ADMM budget (same rule as the batched form): a
+            # diverging solve must not burn max_iter x qp.max_iter inner
+            # iterations — it exits IterationLimit and the caller (e.g.
+            # rescue_nonoptimal's multistart stage) tries a different start
+            run = jnp.logical_and(run, st.qp_iters < params.qp_budget)
+        return run
 
     lam_init = jnp.zeros((m,), dt) if lam0 is None else lam0
     ws0 = _zero_qp_ws((), n, m, dt)
@@ -1151,22 +1158,27 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
 
 
 class _RescueCache:
-    """Memo of the jitted solo rescue solve keyed on (family identity,
-    params); strong reference to the family callable guards id reuse (same
+    """Memo of the jitted rescue solves keyed on (family identity, params,
+    mode); strong reference to the family callable guards id reuse (same
     rationale as ocp.solve._SolveCache)."""
 
     def __init__(self, maxsize: int = 16):
         self._entries = {}
         self._maxsize = maxsize
 
-    def get(self, make_nlp, params):
-        key = (id(make_nlp), params)
+    def get(self, make_nlp, params, mode="solo"):
+        key = (id(make_nlp), params, mode)
         hit = self._entries.get(key)
         if hit is not None and hit[0] is make_nlp:
             return hit[1]
-        fn = jax.jit(
-            lambda th, xx: solve_nlp_sqp(make_nlp(th), xx, params)
-        )
+        if mode == "solo":
+            fn = jax.jit(
+                lambda th, xx: solve_nlp_sqp(make_nlp(th), xx, params)
+            )
+        else:  # "multi": one member's multistart candidates as a tiny batch
+            fn = jax.jit(
+                lambda th, xx: solve_nlp_sqp_batch(make_nlp, th, xx, params)
+            )
         if len(self._entries) >= self._maxsize:
             self._entries.pop(next(iter(self._entries)))
         self._entries[key] = (make_nlp, fn)
@@ -1184,23 +1196,46 @@ def rescue_nonoptimal(
     *,
     qp_iter_scale: int = 4,
     iter_scale: int = 2,
+    multistart: int = 4,
+    perturb_scale: float = 0.1,
+    x0_cold=None,
+    seed: int = 0,
 ) -> tuple[NLPSolution, int]:
-    """Re-solve the non-Optimal members of a fleet solution solo.
+    """Re-solve the non-Optimal members of a fleet solution.
 
     The lockstep fleet gives every member the SAME budgets; the rare member
     that exhausts them (the abandoned tail of the sweep artifacts) gets a
-    second solo pass here with ``qp_iter_scale``x the inner-ADMM budget,
-    ``iter_scale``x the SQP budget, fresh multipliers, and the fleet's last
-    iterate as the primal warmstart — the batched analog of the reference's
-    refinement loop simply iterating Ipopt until convergence on each problem
-    (examples/ocp_se2_nlp.cpp:47-91).
+    second pass here — the batched analog of the reference's refinement loop
+    simply iterating Ipopt until convergence on each problem
+    (examples/ocp_se2_nlp.cpp:47-91).  Two stages:
+
+    1. **Warmstarted re-solve** (packed ``multistart``-wide lockstep
+       groups; solo when ``multistart <= 1``): ``qp_iter_scale``x the
+       inner-ADMM budget, ``iter_scale``x the SQP budget, fresh
+       multipliers, and the fleet's last iterate as the primal
+       warmstart.  ``params.qp_budget``
+       (scaled likewise) bounds the total work, so a genuinely diverging
+       member cannot burn ``max_iter x qp.max_iter`` inner iterations the
+       way an unbounded warmstarted retry would (measured: 289k wasted
+       inner iterations on one SE(2) sweep member whose fleet iterate was
+       in a divergent basin).
+    2. **Perturbed multistart** for members stage 1 did not converge: a
+       tiny ``multistart``-wide batch per member — the cold start
+       (``x0_cold``, else zeros), the cold start under a geometric ladder
+       of Gaussian perturbations (``perturb_scale`` x (1 + |cold|_inf)),
+       and the best-so-far iterate perturbed — solved in lockstep with the
+       same boosted budgets; the best candidate (Optimal, else lowest KKT)
+       wins.  This is the standard escape hatch for a warmstart sitting in
+       the wrong basin; budgets make the lockstep safe (exhausted
+       candidates freeze instead of dragging the group).
 
     Host-side driver (NOT jittable: statuses are materialized to find the
-    failed members); the solo solve itself is jitted once per (family,
-    params) and reused across members and calls.  Returns
-    ``(merged_sol, n_rescued)``; a member's fields are replaced only when
-    the rescue ends Optimal or strictly improves its KKT residual, and
-    ``iters``/``qp_iters`` accumulate the extra work for honest accounting.
+    failed members); each stage's solve is jitted once per (family, params)
+    with fixed shapes and reused across members and calls.  Returns
+    ``(merged_sol, n_rescued)``; a member's fields are replaced only when a
+    rescue ends Optimal or strictly improves its KKT residual, and
+    ``iters``/``qp_iters`` accumulate ALL attempted work (every candidate)
+    for honest accounting.
     """
     import numpy as np
 
@@ -1216,23 +1251,92 @@ def rescue_nonoptimal(
         qp=dataclasses.replace(
             params.qp, max_iter=params.qp.max_iter * qp_iter_scale
         ),
+        qp_budget=(
+            params.qp_budget * qp_iter_scale if params.qp_budget else None
+        ),
         chunk_size=None,
+        probe_iters=0,
     )
-    solve = _rescue_cache.get(make_nlp, prm)
-
     out = {k: np.asarray(v).copy() for k, v in sol._asdict().items()}
-    for i in bad:
-        th_i = jax.tree.map(lambda a: a[i], thetas)
-        ri = solve(th_i, sol.x[i])
+
+    def _merge(i, ri):
+        """Adopt candidate ri for member i iff it improves; charge its work."""
         improved = int(ri.status) == int(NLPSolutionStatus.Optimal) or float(
             ri.kkt_res
-        ) < float(sol.kkt_res[i])
-        extra_it, extra_qp = int(ri.iters), int(ri.qp_iters)
+        ) < float(out["kkt_res"][i])
         if improved:
             for k in ("status", "x", "zl", "zu", "lam", "objective", "kkt_res"):
                 out[k][i] = np.asarray(getattr(ri, k))
-        out["iters"][i] += extra_it
-        out["qp_iters"][i] += extra_qp
+        out["iters"][i] += int(ri.iters)
+        out["qp_iters"][i] += int(ri.qp_iters)
+        return improved
+
+    # ---- stage 1: warmstarted from the fleet iterate.  With
+    # multistart > 1 the failed members are packed into multistart-wide
+    # lockstep groups running the SAME compiled program stage 2 uses (one
+    # batch shape to compile, one dispatch per group instead of per
+    # member — a solo TPU dispatch of this program is ~1 s of latency);
+    # the last group pads by repeating its first member, and only the
+    # real entries are merged/charged.  Budgets make the tiny lockstep
+    # safe: an exhausted member freezes instead of dragging the group.
+    if multistart > 1:
+        W = int(multistart)
+        msolve = _rescue_cache.get(make_nlp, prm, "multi")
+        for g in range(0, bad.size, W):
+            idx = bad[g : g + W]
+            pad = np.concatenate([idx, np.full(W - idx.size, idx[0], idx.dtype)])
+            th_g = jax.tree.map(lambda a: jnp.asarray(a)[pad], thetas)
+            rg = msolve(th_g, jnp.asarray(out["x"][pad]))
+            for j, i in enumerate(idx):
+                _merge(i, jax.tree.map(lambda a: a[j], rg))
+    else:
+        solve = _rescue_cache.get(make_nlp, prm, "solo")
+        for i in bad:
+            th_i = jax.tree.map(lambda a: a[i], thetas)
+            _merge(i, solve(th_i, sol.x[i]))
+
+    # ---- stage 2: perturbed multistart for members still not Optimal
+    still = [
+        i for i in bad
+        if int(out["status"][i]) != int(NLPSolutionStatus.Optimal)
+    ]
+    if multistart > 1 and still:
+        msolve = _rescue_cache.get(make_nlp, prm, "multi")
+        sig = [0.3, 1.0, 3.0, 0.3, 1.0, 10.0][: max(multistart - 1, 1)]
+        for i in still:
+            th_i = jax.tree.map(lambda a: a[i], thetas)
+            th_rep = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (multistart,) + a.shape), th_i
+            )
+            xb = np.asarray(out["x"][i])
+            cold = (
+                np.asarray(x0_cold[i])
+                if x0_cold is not None
+                else np.zeros_like(xb)
+            )
+            scale = perturb_scale * (1.0 + float(np.max(np.abs(cold))))
+            rng = np.random.default_rng(seed * 100003 + int(i))
+            cands = [cold]
+            for k in range(multistart - 1):
+                base = xb if k == len(sig) - 1 else cold  # last: best-so-far
+                cands.append(
+                    base + sig[k] * scale * rng.standard_normal(xb.shape)
+                )
+            ri = msolve(th_rep, jnp.asarray(np.stack(cands), sol.x.dtype))
+            stat = np.asarray(ri.status)
+            kkts = np.asarray(ri.kkt_res)
+            opt = stat == int(NLPSolutionStatus.Optimal)
+            best = int(
+                np.flatnonzero(opt)[np.argmin(kkts[opt])]
+                if opt.any()
+                else np.argmin(kkts)
+            )
+            picked = jax.tree.map(lambda a: a[best], ri)
+            # charge every candidate's work, adopt only the winner
+            picked = picked._replace(
+                iters=jnp.sum(ri.iters), qp_iters=jnp.sum(ri.qp_iters)
+            )
+            _merge(i, picked)
 
     merged = NLPSolution(**{k: jnp.asarray(v) for k, v in out.items()})
     return merged, int(bad.size)
