@@ -64,6 +64,13 @@ BUDGET = int(
 PROBE = int(
     next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--probe=")), 3)
 )
+# Stall freeze (0 = off): freeze a member whose KKT has not halved for this
+# many consecutive SQP iterations (measured straggler mode: diverging
+# members ran 60 lockstep transcription+factorization phases with KKT stuck
+# at ~1e0; converging members halve KKT far faster than every 10).
+STALL = int(
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--stall=")), 10)
+)
 
 import jax
 
@@ -156,6 +163,7 @@ def main(B=None):
             max_iter=60, tol=1e-4, compensated_kkt=True,
             chunk_size=CHUNK if chunked else None,
             qp_budget=BUDGET or None,
+            stall_iters=STALL or None,
             probe_iters=PROBE if chunked else 0,
             probe_qp_cap=300,
             qp=QPSolverParams(
@@ -244,7 +252,14 @@ def main(B=None):
             objective=jnp.asarray(obj), kkt_res=jnp.asarray(kkt),
             qp_iters=jnp.asarray(qpi),
         )
-        merged, n_resc = rescue_nonoptimal(make, vels, sol, prm, x0_cold=z0)
+        # budget_scale=2: the rescue's wall time is set by how long a
+        # DIVERGING candidate can run before freezing; the 4x subproblem
+        # cap stays (depth for stalled-ADMM members) but the total budget
+        # only doubles, and the stall freeze cuts diverging candidates
+        # after ~stall_iters SQP iterations anyway
+        merged, n_resc = rescue_nonoptimal(
+            make, vels, sol, prm, x0_cold=z0, budget_scale=2
+        )
         return (
             np.asarray(merged.status), np.asarray(merged.iters),
             np.asarray(merged.kkt_res), np.asarray(merged.objective),
@@ -334,6 +349,7 @@ def main(B=None):
         "chunk": prm.chunk_size or 0,
         "qp_budget": prm.qp_budget or 0,
         "probe": prm.probe_iters,
+        "stall": prm.stall_iters or 0,
         "rescued": n_rescued,
         # nominal inner-ADMM FLOPs per rep + model-FLOP utilization vs the
         # v5e bf16 peak (f32-highest matmuls cap nominal MFU at ~16.4%;
@@ -380,6 +396,7 @@ def main(B=None):
             r.get("chunk", 0),
             r.get("qp_budget", 0),
             r.get("probe", 0),
+            r.get("stall", 0),
         )
         rows = [r for r in rows if key(r) != key(out)] + [out]
         rows.sort(key=key)

@@ -130,6 +130,21 @@ class SQPParams:
     # included in the returned iters/qp_iters accounting.
     probe_iters: int = 0
     probe_qp_cap: int = 200
+    # Stall freeze (both forms; None = off): a member whose KKT residual
+    # has not dropped below ``stall_ratio x`` its last progress mark for
+    # ``stall_iters`` consecutive SQP iterations freezes as
+    # IterationLimit.  The qp_budget above bounds members burning INNER
+    # iterations; this bounds the other straggler mode measured on the
+    # SE(2) sweep: a diverging member whose subproblems are cheap (KKT
+    # stuck at ~1e0 for 60 SQP iterations) dragging its lockstep group
+    # through a transcription+factorization phase per iteration.  Frozen
+    # members go to rescue_nonoptimal, where a diverging multistart
+    # candidate now also stops after stall_iters instead of exhausting
+    # its whole budget.  A ratio of 0.5 with stall_iters ~10 demands a
+    # KKT halving per 10 iterations — far slower than any converging
+    # SQP run observed on the sweeps (p99 converges in ~35 total).
+    stall_iters: Optional[int] = None
+    stall_ratio: float = 0.5
 
 
 def _violation(nlp: NLP, x, gval):
@@ -203,6 +218,10 @@ def _solve_nlp_sqp_impl(
         done: jax.Array
         qp_iters: jax.Array  # accumulated inner-ADMM iterations
         qp_ws: QPSolution
+        # stall freeze (SQPParams.stall_iters): last progress mark and the
+        # count of consecutive iterations without stall_ratio progress
+        kkt_mark: jax.Array
+        stall_ct: jax.Array
         # cached evaluations at x (one derivative evaluation per iteration)
         fval: jax.Array
         gval: jax.Array
@@ -481,6 +500,13 @@ def _solve_nlp_sqp_impl(
         kkt = kkt_residual(x_new, lam_new, z_new, g_new, grad_new, J_new)
         done = kkt <= params.tol
 
+        if params.stall_iters is not None:
+            prog = kkt < st.kkt_mark * params.stall_ratio
+            kkt_mark = jnp.where(prog, kkt, st.kkt_mark)
+            stall_ct = jnp.where(prog, jnp.int32(0), st.stall_ct + 1)
+        else:
+            kkt_mark, stall_ct = st.kkt_mark, st.stall_ct
+
         if params.hessian == "bfgs":
             # damped (Powell) BFGS on the Lagrangian gradient
             s_v = x_new - x
@@ -528,6 +554,8 @@ def _solve_nlp_sqp_impl(
             done=done,
             qp_iters=st.qp_iters + sol.iters,
             qp_ws=sol,
+            kkt_mark=kkt_mark,
+            stall_ct=stall_ct,
             fval=f_new,
             gval=g_new,
             grad=grad_new,
@@ -547,6 +575,11 @@ def _solve_nlp_sqp_impl(
             # iterations — it exits IterationLimit and the caller (e.g.
             # rescue_nonoptimal's multistart stage) tries a different start
             run = jnp.logical_and(run, st.qp_iters < params.qp_budget)
+        if params.stall_iters is not None:
+            # no stall_ratio KKT progress for stall_iters consecutive
+            # iterations: exit IterationLimit (same rule as the batched
+            # form's per-member freeze)
+            run = jnp.logical_and(run, st.stall_ct < params.stall_iters)
         return run
 
     lam_init = jnp.zeros((m,), dt) if lam0 is None else lam0
@@ -564,6 +597,8 @@ def _solve_nlp_sqp_impl(
         done=jnp.asarray(False),
         qp_iters=jnp.asarray(0, jnp.int32),
         qp_ws=ws0,
+        kkt_mark=inf,
+        stall_ct=jnp.asarray(0, jnp.int32),
         fval=nlp.f(x0),
         gval=nlp.g(x0),
         grad=grad_f(x0),
@@ -783,11 +818,15 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         caug: jax.Array  # (B,) equality-augmentation weight (exact mode)
         kkt: jax.Array  # (B,)
         done: jax.Array  # (B,) bool
-        # (B,) bool: frozen by qp_budget exhaustion (done but NOT Optimal;
-        # the rescue pass re-solves these solo)
+        # (B,) bool: frozen by qp_budget exhaustion or stall (done but NOT
+        # Optimal; the rescue pass re-solves these solo)
         failed: jax.Array
         iters: jax.Array  # (B,) int32: SQP iterations until convergence
         qp_iters: jax.Array  # (B,) int32: accumulated inner-ADMM iterations
+        # (B,) stall freeze state (SQPParams.stall_iters): last progress
+        # mark and consecutive no-progress iteration count
+        kkt_mark: jax.Array
+        stall_ct: jax.Array
         qp_ws: QPSolution  # batched warmstart
         fval: jax.Array  # (B,)
         gval: jax.Array  # (B, m)
@@ -1062,6 +1101,29 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
             )
         else:
             exhausted = jnp.zeros_like(run)
+        if params.stall_iters is not None:
+            # stall freeze: a member whose KKT has not made stall_ratio
+            # progress for stall_iters consecutive iterations is diverging
+            # (measured: KKT stuck at ~1e0 for 60 lockstep iterations);
+            # freeze it as IterationLimit for the rescue pass
+            prog_m = kkt < st.kkt_mark * params.stall_ratio
+            kkt_mark_new = jnp.where(
+                jnp.logical_and(run, prog_m), kkt, st.kkt_mark
+            )
+            stall_ct_new = jnp.where(
+                run,
+                jnp.where(prog_m, jnp.int32(0), st.stall_ct + 1),
+                st.stall_ct,
+            )
+            exhausted = jnp.logical_or(
+                exhausted,
+                jnp.logical_and(
+                    jnp.logical_and(run, jnp.logical_not(done_new)),
+                    stall_ct_new >= params.stall_iters,
+                ),
+            )
+        else:
+            kkt_mark_new, stall_ct_new = st.kkt_mark, st.stall_ct
         return _BState(
             it=st.it + 1,
             x=jnp.where(runc, x_new, st.x),
@@ -1075,6 +1137,8 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
             failed=jnp.logical_or(st.failed, exhausted),
             iters=jnp.where(run, st.it + 1, st.iters),
             qp_iters=qp_iters_new,
+            kkt_mark=kkt_mark_new,
+            stall_ct=stall_ct_new,
             qp_ws=jax.tree.map(
                 lambda a, b: jnp.where(
                     run.reshape((B,) + (1,) * (a.ndim - 1)), a, b
@@ -1123,6 +1187,8 @@ def _solve_nlp_sqp_batch_impl(make_nlp, thetas, x0, params, lam0):
         failed=jnp.zeros((B,), bool),
         iters=jnp.zeros((B,), jnp.int32),
         qp_iters=jnp.zeros((B,), jnp.int32),
+        kkt_mark=jnp.full((B,), inf),
+        stall_ct=jnp.zeros((B,), jnp.int32),
         qp_ws=ws0,
         fval=fB(thetas, x0),
         gval=gB(thetas, x0),
@@ -1196,6 +1262,7 @@ def rescue_nonoptimal(
     *,
     qp_iter_scale: int = 4,
     iter_scale: int = 2,
+    budget_scale: Optional[float] = None,
     multistart: int = 4,
     perturb_scale: float = 0.1,
     x0_cold=None,
@@ -1213,12 +1280,14 @@ def rescue_nonoptimal(
        groups; solo when ``multistart <= 1``): ``qp_iter_scale``x the
        inner-ADMM budget, ``iter_scale``x the SQP budget, fresh
        multipliers, and the fleet's last iterate as the primal
-       warmstart.  ``params.qp_budget``
-       (scaled likewise) bounds the total work, so a genuinely diverging
-       member cannot burn ``max_iter x qp.max_iter`` inner iterations the
-       way an unbounded warmstarted retry would (measured: 289k wasted
-       inner iterations on one SE(2) sweep member whose fleet iterate was
-       in a divergent basin).
+       warmstart.  ``params.qp_budget`` — scaled by ``budget_scale``
+       (default: the historical ``qp_iter_scale`` coupling) — bounds the
+       total work, so a genuinely diverging member cannot burn
+       ``max_iter x qp.max_iter`` inner iterations the way an unbounded
+       warmstarted retry would (measured: 289k wasted inner iterations on
+       one SE(2) sweep member whose fleet iterate was in a divergent
+       basin); ``params.stall_iters``, if set, cuts such a member off
+       after the stall window instead of at budget exhaustion.
     2. **Perturbed multistart** for members stage 1 did not converge: a
        tiny ``multistart``-wide batch per member — the cold start
        (``x0_cold``, else zeros), the cold start under a geometric ladder
@@ -1251,8 +1320,19 @@ def rescue_nonoptimal(
         qp=dataclasses.replace(
             params.qp, max_iter=params.qp.max_iter * qp_iter_scale
         ),
+        # The per-subproblem cap scale (qp_iter_scale) is cheap — it only
+        # lets a stalled subproblem run deeper when needed — but the TOTAL
+        # budget sets the rescue's worst-case wall time directly: a
+        # diverging candidate runs its lockstep group to budget exhaustion
+        # (~30 us/iteration on the SE(2) sweep — budget x scale 4 measured
+        # 17 s/rep of rescue).  budget_scale decouples the two; default
+        # keeps the historical qp_iter_scale coupling.
         qp_budget=(
-            params.qp_budget * qp_iter_scale if params.qp_budget else None
+            int(params.qp_budget * (
+                qp_iter_scale if budget_scale is None else budget_scale
+            ))
+            if params.qp_budget
+            else None
         ),
         chunk_size=None,
         probe_iters=0,

@@ -543,6 +543,56 @@ def test_rescue_nonoptimal_recovers_tail():
     assert n0 == 0 and same is merged
 
 
+def test_sqp_stall_freeze():
+    """stall_iters freezes a member with no stall_ratio KKT progress as
+    IterationLimit well below max_iter (the measured diverging-straggler
+    mode: KKT stuck at ~1e0 through 60 lockstep transcription phases);
+    converging solves under a realistic stall window are untouched.  Both
+    forms share the rule."""
+    from smooth_feedback_tpu.solvers import solve_nlp_sqp_batch
+
+    def make(b):
+        return NLP(
+            n=2,
+            m=1,
+            f=lambda x: (1.0 - x[0]) ** 2 + 10.0 * (x[1] - x[0] ** 2) ** 2 * b,
+            g=lambda x: jnp.array([x[0] + x[1]]),
+            xl=jnp.full(2, -5.0),
+            xu=jnp.full(2, 5.0),
+            gl=jnp.array([-4.0]),
+            gu=jnp.array([4.0]),
+        )
+
+    bs = jnp.array([0.0, 10.0])
+    x0 = jnp.tile(jnp.array([-1.2, 1.0]), (2, 1))
+    base = SQPParams(max_iter=60, tol=1e-10)
+
+    ref = solve_nlp_sqp_batch(make, bs, x0, base)
+    assert np.all(np.asarray(ref.status) == NLPSolutionStatus.Optimal)
+
+    # realistic window (halve KKT per 30 iterations): nothing freezes
+    prm = dataclasses.replace(base, stall_iters=30)
+    sol = solve_nlp_sqp_batch(make, bs, x0, prm)
+    np.testing.assert_array_equal(np.asarray(sol.status), np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x), atol=1e-9)
+
+    # impossible ratio (demand 1e12x progress every 3 iterations): the
+    # hard member freezes almost immediately instead of running to 60
+    prm2 = dataclasses.replace(base, stall_iters=3, stall_ratio=1e-12)
+    sol2 = solve_nlp_sqp_batch(make, bs, x0, prm2)
+    hard = int(np.asarray(ref.iters)[1] > 6)  # fixture: valley needs > 6
+    assert hard == 1
+    assert int(sol2.status[1]) == NLPSolutionStatus.IterationLimit
+    assert int(sol2.iters[1]) <= 6  # froze at ~stall_iters, not max_iter
+
+    # single form shares the rule
+    s1 = solve_nlp_sqp(make(bs[1]), x0[1], prm2)
+    assert int(s1.status) == NLPSolutionStatus.IterationLimit
+    assert int(s1.iters) <= 6
+    s2 = solve_nlp_sqp(make(bs[1]), x0[1], prm)
+    assert int(s2.status) == NLPSolutionStatus.Optimal
+
+
 def test_batch_sqp_per_member_bounds():
     """Bounds may differ per member (they flow through make_nlp like any
     other problem data): x0 >= b activates differently across the fleet."""
