@@ -252,13 +252,17 @@ def main(B=None):
             objective=jnp.asarray(obj), kkt_res=jnp.asarray(kkt),
             qp_iters=jnp.asarray(qpi),
         )
-        # budget_scale=2: the rescue's wall time is set by how long a
-        # DIVERGING candidate can run before freezing; the 4x subproblem
-        # cap stays (depth for stalled-ADMM members) but the total budget
-        # only doubles, and the stall freeze cuts diverging candidates
-        # after ~stall_iters SQP iterations anyway
+        # budget_scale=1: the rescue's wall time is set by how long a
+        # DIVERGING candidate can run before freezing, so the total budget
+        # stays at the fleet's while the per-subproblem cap deepens 4x.
+        # adaptive_rho=True: rescue members are mostly cap-stalled-ADMM
+        # cases; rho adaptation converges those subproblems instead of
+        # burning cap x budget (measured 22 s/rep of rescue without it),
+        # and the wide-fleet objection to it (refactorization cost) does
+        # not apply at multistart width.
         merged, n_resc = rescue_nonoptimal(
-            make, vels, sol, prm, x0_cold=z0, budget_scale=2
+            make, vels, sol, prm, x0_cold=z0, budget_scale=1,
+            adaptive_rho=True,
         )
         return (
             np.asarray(merged.status), np.asarray(merged.iters),

@@ -1263,6 +1263,7 @@ def rescue_nonoptimal(
     qp_iter_scale: int = 4,
     iter_scale: int = 2,
     budget_scale: Optional[float] = None,
+    adaptive_rho: Optional[bool] = None,
     multistart: int = 4,
     perturb_scale: float = 0.1,
     x0_cold=None,
@@ -1314,12 +1315,23 @@ def rescue_nonoptimal(
     if bad.size == 0:
         return sol, 0
 
+    # adaptive_rho (None = inherit): the members that reach rescue are
+    # mostly the ones whose subproblem ADMM stalls at the iteration cap, so
+    # each extra SQP iteration costs the FULL (scaled) cap.  Residual-
+    # balancing rho adaptation cuts exactly those straggler iterations
+    # (measured 8.3x on the CPU sweep), and the refactorization objection
+    # that makes it a net loss on the WIDE main fleet does not apply to a
+    # multistart-wide rescue batch (factorization there is trivial next to
+    # the straggler iterations it saves).
+    qp_prm = dataclasses.replace(
+        params.qp, max_iter=params.qp.max_iter * qp_iter_scale
+    )
+    if adaptive_rho is not None:
+        qp_prm = dataclasses.replace(qp_prm, adaptive_rho=adaptive_rho)
     prm = dataclasses.replace(
         params,
         max_iter=params.max_iter * iter_scale,
-        qp=dataclasses.replace(
-            params.qp, max_iter=params.qp.max_iter * qp_iter_scale
-        ),
+        qp=qp_prm,
         # The per-subproblem cap scale (qp_iter_scale) is cheap — it only
         # lets a stalled subproblem run deeper when needed — but the TOTAL
         # budget sets the rescue's worst-case wall time directly: a
