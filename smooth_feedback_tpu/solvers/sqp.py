@@ -1264,6 +1264,7 @@ def rescue_nonoptimal(
     iter_scale: int = 2,
     budget_scale: Optional[float] = None,
     adaptive_rho: Optional[bool] = None,
+    stall_scale: int = 1,
     multistart: int = 4,
     perturb_scale: float = 0.1,
     x0_cold=None,
@@ -1348,6 +1349,14 @@ def rescue_nonoptimal(
         ),
         chunk_size=None,
         probe_iters=0,
+        # a rescue legitimately converges more slowly than the fleet's
+        # healthy members (deep warmstarted tails, cold multistarts), so
+        # the inherited stall window can be loosened by stall_scale
+        stall_iters=(
+            params.stall_iters * stall_scale
+            if params.stall_iters is not None
+            else None
+        ),
     )
     out = {k: np.asarray(v).copy() for k, v in sol._asdict().items()}
 
