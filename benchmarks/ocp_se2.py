@@ -64,12 +64,16 @@ BUDGET = int(
 PROBE = int(
     next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--probe=")), 3)
 )
-# Stall freeze (0 = off): freeze a member whose KKT has not halved for this
-# many consecutive SQP iterations (measured straggler mode: diverging
-# members ran 60 lockstep transcription+factorization phases with KKT stuck
-# at ~1e0; converging members halve KKT far faster than every 10).
+# Stall freeze (0 = off = the recorded protocol): freeze a member whose KKT
+# has not halved for this many consecutive SQP iterations.  Measured A/B at
+# B=256 (OCP_SWEEP.json stall=10 row): freezing cuts the sweep 10.5 -> 6.2
+# s/rep but triages 23 members/rep (vs 8 budget-exhausted without it) into
+# the rescue at ~2.8 s each — the frozen members are mostly SLOW BUT
+# CONVERGING, and finishing them in cheap lockstep beats rescuing them
+# (value 32.4 -> 4.0).  Freezing pays off only when divergence is common;
+# this sweep's tail is slow convergence, so the protocol leaves it off.
 STALL = int(
-    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--stall=")), 10)
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--stall=")), 0)
 )
 # Rescue tuning knobs (A/B; defaults are the recorded protocol)
 RBUDGET = float(
