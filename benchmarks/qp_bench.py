@@ -85,35 +85,67 @@ def throughput_sweep(B=256, reps=5, record=False):
     prm_l = QPSolverParams(max_iter=4000, backend="lane")
     prm_p = QPSolverParams(max_iter=4000, backend="pallas")
     device = jax.devices()[0].platform
+    # Sacrificial dispatch: the FIRST result a fresh process blocks on
+    # through the axon tunnel returns on the enqueue ack, not execution
+    # (measured: the first timed cell of a run reports 5-9M "solves/s" —
+    # ~300x steady state — for whichever (n, backend) happens to run first,
+    # with fresh never-dispatched inputs; every later cell is consistent).
+    # Burn the async fast-path on an unrecorded solve so recorded cells
+    # time real execution.
+    _sac = jax.vmap(
+        lambda k: random_qp(k, n=8, m=8, density=0.3, dtype=jnp.float32)
+    )(jax.random.split(jax.random.PRNGKey(424242), 64))
+    jax.block_until_ready(solve_qp_batch(_sac, prm_x))
+    jax.block_until_ready(solve_qp_batch(_sac, prm_x))
     rows = []
     # 48/64/96 probe the mid-size per-problem band above the lane backend's
     # unrolled-factorization regime (VERDICT r3 weak #5; the lane backend now
     # covers it with a batch-leading MXU factorization)
     for n in (8, 16, 32, 48, 64, 96, 128):
         for density in (0.3, 1.0):
-            # FRESH problem batch per timed rep: the TPU tunnel memoizes
-            # identical dispatches, so re-timing the same arguments measures
-            # the cache, not the solver
-            batches = [
-                jax.vmap(
-                    lambda k: random_qp(
-                        k, n=n, m=n, density=density, dtype=jnp.float32
+            # FRESH problems per timed call; the `reps` fresh batches are
+            # solved by ONE `lax.scan` dispatch.  One batch per dispatch
+            # measured a flat ~30 ms/dispatch across every n and backend —
+            # the axon tunnel's round-trip latency, not the solver (the
+            # recorded artifact was ~8k solves/s for everything); chaining
+            # inside the dispatch amortizes it exactly like a deployed
+            # solve-every-control-tick loop (cf. bench.py NSCAN chaining).
+            def stacked(seed):
+                return jax.vmap(
+                    jax.vmap(
+                        lambda k: random_qp(
+                            k, n=n, m=n, density=density, dtype=jnp.float32
+                        )
                     )
-                )(jax.random.split(jax.random.PRNGKey(1000 * n + r), B))
-                for r in range(reps + 1)
-            ]
+                )(
+                    jax.random.split(
+                        jax.random.PRNGKey(1000 * n + seed), (reps, B)
+                    )
+                )
+            # seeds 10/11: seeds 0/1's problem sets were dispatched by earlier
+            # protocol iterations, and the tunnel REPLAYS a previously seen
+            # dispatch (~measured 9M "solves/s" for a replayed cell vs 24k
+            # fresh) — timed inputs must never have crossed the tunnel before
+            warm, timed = stacked(10), stacked(11)
             rates = {}
             for name, prm in (("xla", prm_x), ("lane", prm_l), ("pallas", prm_p)):
-                sol = solve_qp_batch(batches[0], prm)
-                jax.block_until_ready(sol)
+
+                @jax.jit
+                def chain(qps):
+                    def step(carry, qp):
+                        s = solve_qp_batch(qp, prm)
+                        return carry, (s.status, s.iters)
+
+                    return jax.lax.scan(step, 0, qps)[1]
+
+                jax.block_until_ready(chain(warm))
                 t0 = time.perf_counter()
-                for r in range(reps):
-                    sol = solve_qp_batch(batches[r + 1], prm)
-                    jax.block_until_ready(sol)
+                st, its = chain(timed)
+                jax.block_until_ready(st)
                 dt = time.perf_counter() - t0
                 rates[name] = B * reps / dt
-                st = np.asarray(sol.status)
-                mean_iters = float(np.mean(np.asarray(sol.iters)))
+                st = np.asarray(st)
+                mean_iters = float(np.mean(np.asarray(its)))
                 # nominal inner-ADMM work (utils/flops.py): iterations +
                 # stopping checks + the one reduced-KKT factorization; the
                 # lane/pallas layouts do the SAME nominal math, so MFU
@@ -126,7 +158,7 @@ def throughput_sweep(B=256, reps=5, record=False):
                 mfu = mfu_pct(flops * reps, dt, device)
                 rows.append({
                     "n": n, "m": n, "density": density, "backend": name,
-                    "batch": B,
+                    "batch": B, "chained_reps": reps,
                     "solves_per_sec": round(rates[name], 1),
                     "optimal_pct": round(float(np.mean(st == 0) * 100.0), 2),
                     "iters_mean": round(mean_iters, 1),
