@@ -85,18 +85,33 @@ def throughput_sweep(B=256, reps=5, record=False):
     prm_l = QPSolverParams(max_iter=4000, backend="lane")
     prm_p = QPSolverParams(max_iter=4000, backend="pallas")
     device = jax.devices()[0].platform
-    # Sacrificial dispatch: the FIRST result a fresh process blocks on
-    # through the axon tunnel returns on the enqueue ack, not execution
-    # (measured: the first timed cell of a run reports 5-9M "solves/s" —
-    # ~300x steady state — for whichever (n, backend) happens to run first,
-    # with fresh never-dispatched inputs; every later cell is consistent).
-    # Burn the async fast-path on an unrecorded solve so recorded cells
-    # time real execution.
-    _sac = jax.vmap(
-        lambda k: random_qp(k, n=8, m=8, density=0.3, dtype=jnp.float32)
-    )(jax.random.split(jax.random.PRNGKey(424242), 64))
-    jax.block_until_ready(solve_qp_batch(_sac, prm_x))
-    jax.block_until_ready(solve_qp_batch(_sac, prm_x))
+    # Burn-in: the first ~2 executions of the first big chained executable a
+    # fresh process blocks on through the axon tunnel return on the enqueue
+    # ack, not execution completion (measured: the first timed cell reports
+    # 5-12M "solves/s" — ~300x its reproducible steady state — with fresh
+    # never-dispatched inputs, surviving even two independent timed calls;
+    # every later cell, including ones REUSING that same executable, is
+    # consistent).  Tiny un-chained sacrificial solves do NOT consume the
+    # window; two full unrecorded executions of the first cell's exact
+    # chained program do — after them the recorded loop times real work.
+    # (byte-identical HLO to the recorded cells' chain: same step outputs,
+    # same scan structure — a differently-shaped burn is a different
+    # executable and does not consume its window)
+    def _burn_chain(qps):
+        def step(carry, qp):
+            s = solve_qp_batch(qp, prm_x)
+            return carry, (s.status, s.iters)
+
+        return jax.lax.scan(step, 0, qps)[1]
+
+    _burn_jit = jax.jit(_burn_chain)
+    for seed in (20, 21):
+        _qps = jax.vmap(
+            jax.vmap(
+                lambda k: random_qp(k, n=8, m=8, density=0.3, dtype=jnp.float32)
+            )
+        )(jax.random.split(jax.random.PRNGKey(8000 + seed), (reps, B)))
+        jax.block_until_ready(_burn_jit(_qps))
     rows = []
     # 48/64/96 probe the mid-size per-problem band above the lane backend's
     # unrolled-factorization regime (VERDICT r3 weak #5; the lane backend now
@@ -122,11 +137,17 @@ def throughput_sweep(B=256, reps=5, record=False):
                         jax.random.PRNGKey(1000 * n + seed), (reps, B)
                     )
                 )
-            # seeds 10/11: seeds 0/1's problem sets were dispatched by earlier
-            # protocol iterations, and the tunnel REPLAYS a previously seen
-            # dispatch (~measured 9M "solves/s" for a replayed cell vs 24k
-            # fresh) — timed inputs must never have crossed the tunnel before
-            warm, timed = stacked(10), stacked(11)
+            # seeds 10..12: never previously dispatched (the tunnel replays
+            # byte-identical dispatches).  Each cell is timed TWICE on
+            # independent fresh batches and the SLOWER rate is recorded: the
+            # remaining tunnel pathology (an early-process result returning
+            # on the enqueue ack instead of execution — observed 5-10M
+            # "solves/s" for whichever cell runs first, ~300x its
+            # reproducible steady state, surviving both fresh seeds and a
+            # sacrificial burn) can only make a timing too FAST, so the
+            # pairwise max-dt is robust to it while honest work is
+            # reproducible to a few percent.
+            warm, timed_a, timed_b = stacked(10), stacked(11), stacked(12)
             rates = {}
             for name, prm in (("xla", prm_x), ("lane", prm_l), ("pallas", prm_p)):
 
@@ -139,10 +160,12 @@ def throughput_sweep(B=256, reps=5, record=False):
                     return jax.lax.scan(step, 0, qps)[1]
 
                 jax.block_until_ready(chain(warm))
-                t0 = time.perf_counter()
-                st, its = chain(timed)
-                jax.block_until_ready(st)
-                dt = time.perf_counter() - t0
+                dt = 0.0
+                for timed in (timed_a, timed_b):
+                    t0 = time.perf_counter()
+                    st, its = chain(timed)
+                    jax.block_until_ready(st)
+                    dt = max(dt, time.perf_counter() - t0)
                 rates[name] = B * reps / dt
                 st = np.asarray(st)
                 mean_iters = float(np.mean(np.asarray(its)))

@@ -650,8 +650,13 @@ def _solve_qp_batch_lane(prm, P, q, A, l, u, warmstart, factors):
     # n <= 32 uses the fully-unrolled lane factorization; 32 < n factorizes
     # batch-leading on the MXU and iterates in the lane layout (the
     # batch-on-lanes (n, n, B) stacks avoid the 128-lane padding that evicts
-    # the XLA path's loop-invariant matrices from VMEM — measured 100x+ in
-    # the 32 < n <= 64 band at B=256).  Past VMEM capacity
+    # the XLA path's loop-invariant matrices from VMEM).  Under the honest
+    # fresh-inputs chained protocol (benchmarks/QP_BENCH.json) single-shot
+    # B=256 fleets are per-iteration kernel-overhead-bound and lane runs
+    # ~5-10% ahead of the XLA path across the 32 < n <= 96 band (earlier
+    # 100x+ figures came from a timing protocol the tunnel could replay);
+    # the layout's big wins are the reuse paths built on it (ekf_fleet_*,
+    # asif fleet transcription — see README).  Past VMEM capacity
     # (~3 n^2 B floats) the loop streams from HBM and the advantage shrinks
     # to the padding ratio; there is no hard cap.
     inf = jnp.asarray(jnp.inf, dt)
